@@ -1,0 +1,67 @@
+"""URL canonicalization + hashing (SURVEY.md §2.7 F1/F2/F11, UDF U1).
+
+One pure-Python source of truth shared by the sequential oracle and the
+vectorized Spark UDF, so conformance tests compare identical semantics.
+
+Divergence from the reference, documented per SURVEY.md §1.3: the reference's
+``DefaultLinkExtractor`` resolves relative hrefs by mutating a shared
+``*url.URL`` (reference linkextractor.go:45-49 — later relative hrefs inherit
+earlier mutations). We use correct RFC 3986 resolution via ``urljoin``;
+conformance fixtures use absolute hrefs only, where both semantics agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urljoin, urlsplit
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize_url(url: str, base: str | None = None) -> str | None:
+    """Canonical form: lowercase scheme/host, default-port strip, '' path →
+    '/', fragment dropped, query kept. Returns None for non-http(s) or
+    unparsable URLs (reference drops unparsable links, linkextractor.go:39-42).
+    """
+    url = url.strip()
+    if base:
+        url = urljoin(base, url)
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = p.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    try:
+        host = (p.hostname or "").lower()
+        port = p.port
+    except ValueError:
+        return None
+    if not host:
+        return None
+    port_part = f":{port}" if port is not None and port != _DEFAULT_PORTS[scheme] else ""
+    path = p.path or "/"
+    query = f"?{p.query}" if p.query else ""
+    return f"{scheme}://{host}{port_part}{path}{query}"
+
+
+def url_host(url: str) -> str:
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def url_path(url: str) -> str:
+    try:
+        return urlsplit(url).path or "/"
+    except ValueError:
+        return ""
+
+
+def sha1_64(s: str) -> int:
+    """First 8 bytes of SHA1(s) as signed int64 — the url_sha1 key used for
+    the bloom seen-set, salting, and bucketing (SURVEY.md F11)."""
+    d = hashlib.sha1(s.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big", signed=True)
