@@ -1,0 +1,170 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash, and n-gram Jaccard — each as a pure DataFrame transform with a
+matching ANSI-SQL twin (plans/generic_queries.py) so DuckDB can oracle-check
+it. Embedding-cosine near-dup lives in similarity.py.
+
+Cross-engine hash parity: both Spark and DuckDB compute
+``md5`` identically, so the shared 60-bit hash is
+
+    Spark:  conv(substr(md5(x), 1, 15), 16, 10)::long
+    DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+
+Scale notes (the part that matters at 100 TB):
+* exact dedup is one hash-aggregate — map-side partial agg, no skew issue.
+* minhash signatures are per-row (no shuffle); the only shuffle is the
+  band-bucket self-join, whose buckets are small by construction (a giant
+  bucket = a giant near-dup cluster; cap it with a bucket-size limit).
+* all shingling/hashing stays JVM-side in built-in functions — no Python in
+  the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+N_PERMS = 8          # minhash permutations (salted-hash trick: h_i(s) = h(i || s))
+BAND_SIZE = 2        # rows per LSH band → N_PERMS/BAND_SIZE bands
+SIMHASH_BITS = 16
+
+
+def hash64(col):
+    """60-bit md5-prefix hash with an exact DuckDB twin (module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def normalized_words(text_col):
+    """lowercase, strip non-alphanumerics, split — shared normalization."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", " "), " +"),
+        lambda w: w != "",
+    )
+
+
+def word_shingles(words_col, k: int = 3):
+    """Word k-grams as strings (space-joined)."""
+    n = F.size(words_col)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(words_col, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words_col)))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    representative (minimum) id and the duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_perms: int = N_PERMS,
+                       shingle_k: int = 3) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{n-1}.
+
+    Permutation i is the salted hash h(i || '|' || shingle) — min-wise
+    independent enough for candidate generation, and exactly reproducible in
+    ANSI SQL (no seeded RNG needed)."""
+    sh = docs.select(
+        id_col,
+        F.explode(word_shingles(normalized_words(F.col(text_col)), shingle_k)).alias("shingle"),
+    ).dropDuplicates([id_col, "shingle"])
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        n_perms: int = N_PERMS, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band the signature, bucket-join within bands → distinct candidate
+    pairs (a < b). The self-join shuffles on (band_id, band_hash) only."""
+    n_bands = n_perms // band_size
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("band_id", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
+    return lsh_candidate_pairs(minhash_signatures(docs, **kw))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Verify LSH candidates with true shingle-set Jaccard; keep ≥ threshold.
+    Rounded to 6 dp for stable cross-engine comparison."""
+    cands = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    sets_df = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(
+            F.array_distinct(word_shingles(normalized_words(F.col(text_col)), shingle_k))
+        ).alias("sh"),
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    joined = (
+        cands.join(a, cands.doc_a == F.col("a.doc"))
+        .join(b, cands.doc_b == F.col("b.doc"))
+        .withColumn("n_inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("a.sh") + F.size("b.sh") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: bit b is the sign of Σ_tokens ±1 on bit b of the
+    token hash. Packed into one integer — Hamming-near duplicates collide."""
+    tok = docs.select(
+        id_col, F.explode(normalized_words(F.col(text_col))).alias("w")
+    ).withColumn("h", hash64(F.col("w")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select(id_col, packed.cast("long").alias("simhash"))

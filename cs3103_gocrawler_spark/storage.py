@@ -1,0 +1,103 @@
+"""Round-snapshot table catalog (SURVEY.md §2.9 checkpoint/resume).
+
+Parquet stand-in for the Iceberg tables named in BASELINE.json.north_rule —
+the sandbox has no Iceberg runtime jar, so each logical table is a directory
+of per-round parquet subdirs plus an atomically-renamed JSON manifest:
+
+    state_dir/
+      manifest.json              <- {"last_round": N, ...}; atomic rename
+      frontier/r00000/*.parquet  <- full snapshot per round (small: pending only)
+      seen/r00000/*.parquet      <- append-only per-round delta
+      visited/r00000/*.parquet   <- append-only per-round delta
+      rejected/..., metrics/..., validation/...
+
+Swap-to-Iceberg notes: ``append`` ≙ ``df.writeTo(tbl).append()`` with the
+manifest replaced by Iceberg snapshot ids; ``read_all`` ≙ a plain table scan;
+resume-from-round-k ≙ time-travel to snapshot k. The engine only touches
+storage through this class, so the swap is local to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _rdir(kind: str, round_id: int) -> str:
+    return f"{kind}/r{round_id:05d}"
+
+
+class RoundCatalog:
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- manifest (the atomic commit point of a round) -----------------------
+    def manifest(self) -> dict | None:
+        path = os.path.join(self.state_dir, "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def commit_round(self, round_id: int, extra: dict | None = None) -> None:
+        """Atomic rename makes the round durable — a crash before this leaves
+        the previous manifest intact and the partial round is re-run on resume."""
+        payload = {"last_round": round_id, **(extra or {})}
+        fd, tmp = tempfile.mkstemp(dir=self.state_dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(self.state_dir, "manifest.json"))
+
+    # -- table IO -------------------------------------------------------------
+    def path(self, kind: str, round_id: int) -> str:
+        return os.path.join(self.state_dir, _rdir(kind, round_id))
+
+    def write(self, df: DataFrame, kind: str, round_id: int) -> str:
+        p = self.path(kind, round_id)
+        df.write.mode("overwrite").parquet(p)
+        return p
+
+    def read(self, kind: str, round_id: int) -> DataFrame:
+        return self.spark.read.parquet(self.path(kind, round_id))
+
+    def exists(self, kind: str, round_id: int) -> bool:
+        return os.path.exists(os.path.join(self.path(kind, round_id), "_SUCCESS"))
+
+    def read_all(self, kind: str, up_to_round: int | None = None) -> DataFrame | None:
+        """Union of all committed per-round deltas for an append-only table."""
+        base = os.path.join(self.state_dir, kind)
+        if not os.path.isdir(base):
+            return None
+        dirs = sorted(
+            d for d in os.listdir(base)
+            if d.startswith("r")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+            and (up_to_round is None or int(d[1:]) <= up_to_round)
+        )
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
+
+    def count(self, kind: str, round_id: int) -> int:
+        return self.read(kind, round_id).count()
+
+    def drop_rounds_after(self, round_id: int) -> None:
+        """Discard partial writes from rounds newer than the manifest (resume).
+
+        ``frontier/r{N+1}`` is round N's *output* (and round N+1's input), so
+        the frontier table keeps one extra round; all other tables are
+        per-round deltas of round N itself."""
+        for kind in os.listdir(self.state_dir):
+            base = os.path.join(self.state_dir, kind)
+            if not os.path.isdir(base):
+                continue
+            keep_to = round_id + 1 if kind == "frontier" else round_id
+            for d in os.listdir(base):
+                if d.startswith("r") and int(d[1:]) > keep_to:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)

@@ -1,0 +1,271 @@
+"""The crawl round loop — gocrawler's recursion as Spark micro-batches.
+
+One round replaces one wave of the reference's goroutine tree
+(crawler.go:86-109); the dataflow per round (SURVEY.md §3.2):
+
+    frontier_r ──dequeue (politeness two-phase top-B, W2)──┐
+        │ deferred (stays pending)                          │
+        └──fetch join vs pages + mapInPandas enrich (U2/J4)─┤
+            outcome: ok / matcher / fetch_error (P1-P6)     │
+            extract links (U3) → project body away          │
+            write fetched_r  ← single materialization point │
+    visited_r / rejected_r / seen_r ← cheap projections ────┤
+    children = explode(links) → canonicalize (U1)           │
+             → robots gate → bloom + anti-join vs seen (J1) │
+    frontier_{r+1} = min-(depth,parent) merge(children ∪ deferred)  (A5)
+    metrics_r, validation_r; manifest commit = checkpoint
+
+Determinism: every output table has an order-insensitive definition; the
+recorded crawl ordering (W3) is ``row_number() OVER (PARTITION BY host ORDER
+BY round_id, priority, depth, url)`` — identical at local[8] and local[32],
+which is the two-cluster-size check's requirement (§4.2.4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..operators.canonicalize import with_canonical
+from ..operators.extract import make_extract_udf
+from ..operators.fetch import synthetic_fetch
+from ..operators.matchers import conjunction
+from ..operators.politeness import dequeue
+from ..operators.seen import Bloom, filter_unseen
+from ..operators.validate import validate_payloads
+from ..storage import RoundCatalog
+
+VISITED_COLS = [
+    "url", "host", "path", "url_sha1", "depth", "parent", "priority", "links",
+    "resp_ms", "attempts", "backoff_ms", "round_id", "partition_id", "host_bucket",
+]
+
+
+@dataclass
+class CrawlConfig:
+    """Mirrors reference Config (config.go:10-18) + target-only knobs.
+
+    ``max_depth`` keeps the reference's off-by-one: user value d ⇒ pages at
+    depth 0..d-1 fetched (crawler.go:59,93). ``budget_per_host=None`` ⇒
+    unbounded fan-out per round (the reference's default modulo its global
+    token bucket, which is a wall-clock not a count limit)."""
+
+    max_depth: int = 3
+    budget_per_host: int | None = None
+    max_retries: int = 3
+    blacklist_hosts: tuple[str, ...] = ()
+    matchers: tuple[str, ...] = ("html",)
+    salt_buckets: int = 16
+    n_host_buckets: int = 64
+    bloom_capacity: int = 1 << 20
+    bloom_fpr: float = 1e-3
+    gen_seed: int = 42
+    validate: bool = False
+    instrument_bloom: bool = True
+    max_rounds: int = 10_000
+    extra: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: CrawlConfig,
+        state_dir: str,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.cfg = config
+        self.cat = RoundCatalog(spark, state_dir)
+        self.robots = robots
+        self.bloom = Bloom(config.bloom_capacity, config.bloom_fpr)
+        self._blacklist = frozenset(config.blacklist_hosts)
+        self._extract = make_extract_udf(self._blacklist)
+
+    # ------------------------------------------------------------------ setup
+    def init_frontier(self, seeds: DataFrame) -> None:
+        """Round-0 frontier from seeds(url, priority) — S1 (explorer main.go:57-65)."""
+        f = (
+            with_canonical(seeds)
+            .filter(~F.col("host").isin(list(self._blacklist)) if self._blacklist else F.lit(True))
+            .withColumn("depth", F.lit(0))
+            .withColumn("parent", F.lit(""))
+        )
+        f = self._robots_gate(f)
+        f = (
+            f.groupBy("url")
+            .agg(
+                F.min(F.struct("depth", "parent")).alias("_dp"),
+                F.min("priority").alias("priority"),
+                F.first("host").alias("host"),
+                F.first("path").alias("path"),
+                F.first("url_sha1").alias("url_sha1"),
+            )
+            .select(
+                "url", "host", "path", "url_sha1",
+                F.col("_dp.depth").alias("depth"), F.col("_dp.parent").alias("parent"),
+                "priority",
+            )
+        )
+        self.cat.write(f, "frontier", 0)
+        self.cat.commit_round(-1)
+
+    def _robots_gate(self, df: DataFrame) -> DataFrame:
+        """Drop URLs whose path matches a disallow prefix for their host
+        (north_rule robots gating; broadcast dim join — no reference analog)."""
+        if self.robots is None:
+            return df
+        r = F.broadcast(self.robots.select("host", "disallow_prefixes"))
+        joined = df.join(r, "host", "left")
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: F.col("path").startswith(p),
+        )
+        return joined.filter(~blocked).drop("disallow_prefixes")
+
+    # ------------------------------------------------------------------ rounds
+    def _run_round(self, r: int) -> dict:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        pending = self.cat.read("frontier", r)
+        pending_n = pending.count()
+        if pending_n == 0:
+            return {"round_id": r, "pending": 0, "terminated": True}
+
+        dequeued, deferred = dequeue(pending, cfg.budget_per_host, cfg.salt_buckets)
+
+        fetched = synthetic_fetch(
+            dequeued, self.pages, max_retries=cfg.max_retries, resp_seed=cfg.gen_seed
+        )
+        ok = F.col("found") & conjunction(list(cfg.matchers))
+        processed = (
+            fetched.withColumn(
+                "outcome",
+                F.when(~F.col("found"), F.lit("fetch_error"))
+                .when(~ok, F.lit("matcher"))
+                .otherwise(F.lit("ok")),
+            )
+            .withColumn(
+                "links",
+                F.when(
+                    F.col("outcome") == "ok",
+                    self._extract(F.col("url"), F.col("body_html")),
+                ),
+            )
+            .drop("body_html")  # keep payloads out of every downstream shuffle
+            .withColumn("round_id", F.lit(r))
+            .withColumn(
+                "host_bucket",
+                F.pmod(F.xxhash64("host"), F.lit(cfg.n_host_buckets)).cast("int"),
+            )
+        )
+        # the single expensive materialization of the round
+        self.cat.write(processed, "fetched", r)
+        processed = self.cat.read("fetched", r)
+
+        visited = processed.filter(F.col("outcome") == "ok").select(*VISITED_COLS)
+        self.cat.write(visited, "visited", r)
+        self.cat.write(
+            processed.filter(F.col("outcome") != "ok").select(
+                "url", "url_sha1", F.col("outcome").alias("reason"), "round_id"
+            ),
+            "rejected", r,
+        )
+        self.cat.write(processed.select("url", "url_sha1"), "seen", r)
+
+        # update driver-side bloom with this round's newly-seen sha1s
+        new_sha1s = processed.select("url_sha1").toPandas()["url_sha1"].to_numpy()
+        self.bloom.add(new_sha1s)
+
+        # children: J5 edge construction — parent rides the row, no join needed
+        depth_cap = cfg.max_depth - 1  # crawler.go:59
+        children = (
+            self.cat.read("visited", r)
+            .filter(F.col("depth") + 1 <= depth_cap)
+            .select(
+                F.col("url").alias("parent"),
+                F.explode("links").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+                "priority",
+            )
+        )
+        children = with_canonical(children)  # idempotent; adds host/path/sha1
+        children = self._robots_gate(children)
+
+        seen_all = self.cat.read_all("seen", up_to_round=r)
+        unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
+        bloom_fp_n = bloom_fps.count() if cfg.instrument_bloom else -1
+
+        frontier_cols = ["url", "host", "path", "url_sha1", "depth", "parent", "priority"]
+        merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
+        nxt = (
+            merged.groupBy("url")
+            .agg(
+                F.min(F.struct("depth", "parent")).alias("_dp"),
+                F.min("priority").alias("priority"),
+                F.first("host").alias("host"),
+                F.first("path").alias("path"),
+                F.first("url_sha1").alias("url_sha1"),
+            )
+            .select(
+                "url", "host", "path", "url_sha1",
+                F.col("_dp.depth").alias("depth"), F.col("_dp.parent").alias("parent"),
+                "priority",
+            )
+        )
+        self.cat.write(nxt, "frontier", r + 1)
+
+        if cfg.validate:
+            val_in = self.pages.join(
+                self.cat.read("visited", r).select(F.col("url").alias("image_id")),
+                "image_id",
+            )
+            self.cat.write(validate_payloads(val_in, cfg.gen_seed), "validation", r)
+
+        # metrics (A7 / north_rule lineage+metrics requirement)
+        outcome_counts = dict(
+            processed.groupBy("outcome").count().toPandas().itertuples(index=False)
+        )
+        dequeued_n = int(sum(outcome_counts.values()))
+        deferred_n = pending_n - dequeued_n
+        next_n = self.cat.count("frontier", r + 1)
+        m = {
+            "round_id": r,
+            "pending": pending_n,
+            "dequeued": dequeued_n,
+            "fetched_ok": int(outcome_counts.get("ok", 0)),
+            "rejected": int(outcome_counts.get("matcher", 0) + outcome_counts.get("fetch_error", 0)),
+            "new_urls": next_n - deferred_n,
+            "deferred": deferred_n,
+            "bloom_fp": bloom_fp_n,
+            "elapsed_ms": int((time.monotonic() - t0) * 1000),
+        }
+        self.cat.write(self.spark.createDataFrame([m]), "metrics", r)
+        self.cat.commit_round(r)
+        m["terminated"] = next_n == 0
+        return m
+
+    def run(self, resume: bool = False) -> list[dict]:
+        """Run rounds until the frontier drains. ``resume=True`` continues
+        from the last committed manifest (round-snapshot checkpointing)."""
+        man = self.cat.manifest()
+        if man is None:
+            raise RuntimeError("call init_frontier(seeds) first")
+        start = man["last_round"] + 1
+        if resume and start > 0:
+            self.cat.drop_rounds_after(man["last_round"] + 0)
+            seen_all = self.cat.read_all("seen", up_to_round=man["last_round"])
+            if seen_all is not None:
+                self.bloom.add(seen_all.select("url_sha1").toPandas()["url_sha1"].to_numpy())
+        history: list[dict] = []
+        for r in range(start, self.cfg.max_rounds):
+            m = self._run_round(r)
+            history.append(m)
+            if m.get("terminated"):
+                break
+        return history

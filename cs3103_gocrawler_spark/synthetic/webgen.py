@@ -235,6 +235,20 @@ def robots_for(cfg: WebConfig) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def write_parquet_tables(cfg: WebConfig, out_dir: str) -> str:
+    """Small-scale (pytest) materialization: pages/edges/seeds/robots parquet
+    via pandas+pyarrow — same rows as generate_spark, no session needed."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages, edges = generate_pandas(cfg)
+    pages.to_parquet(f"{out_dir}/pages.parquet", index=False)
+    edges.to_parquet(f"{out_dir}/edges.parquet", index=False)
+    seeds_for(cfg).to_parquet(f"{out_dir}/seeds.parquet", index=False)
+    robots_for(cfg).to_parquet(f"{out_dir}/robots.parquet", index=False)
+    return out_dir
+
+
 def generate_spark(spark, cfg: WebConfig, out_dir: str, partitions: int | None = None):
     """Scale path: generate pages+edges as a distributed Spark job.
 
