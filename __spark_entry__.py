@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship report query at sf0.001 (smoke check).
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data pipeline ops, each with an ANSI-SQL twin
+DuckDB runs on the same parquet (rows-only for pandas-UDF pipelines).
+
+The registry lives in cs3103_gocrawler_spark/plans/generic_queries.py; the
+crawl engine itself (frontier rounds, politeness, bloom seen-set, payload
+validation, checkpoint/resume) is conformance-tested against a sequential
+oracle in tests/ — see tests/test_oracle_conformance.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cs3103_gocrawler_spark.plans.generic_queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl-report aggregate shape (SURVEY.md §3.3) over the
+    generic tables — per-nation order volume via broadcast dim joins, the
+    exact plan family the per-host NetworkInfo report uses (A3/A4/J6)."""
+    sf = "/root/testdata/sf0.001"
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,592 @@
+"""Operator-inventory queries over the generic testdata tables (FIXTURES §6).
+
+Each entry maps one SURVEY.md §2 operator (or training-data pipeline op) to
+(a) a Spark callable ``(spark, sf_dir) -> DataFrame`` and (b) an ANSI-SQL
+twin DuckDB runs on the same parquet for the driver's correctness gate.
+
+Cross-engine parity rules used throughout:
+* money/value sums go through integer cents (``floor(x*100)``) — identical
+  per-row IEEE doubles floor to identical ints, so sums are exact.
+* unavoidable doubles (ratios, cosines) are ``round(…, 6)`` on both sides
+  computed with the identical formula/operand order.
+* Spark's int-typed ``size``/``row_number`` are cast to long to match
+  DuckDB's BIGINT.
+* the shared 60-bit hash is the md5-prefix trick (operators/dedup.py).
+
+Entries with ``oracle=None`` are genuinely non-SQL-expressible (pandas-UDF
+pipelines); the driver records a rows-only check and pytest covers them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..operators import dedup, similarity, textstats
+from ..operators.multimodal import extract_features
+
+STOP_SQL = "['" + "','".join(textstats.STOPWORDS) + "']"
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +'), w -> w <> '')"
+)
+_HASH_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.floor(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# §2.3/§2.6 — joins & set ops
+# --------------------------------------------------------------------------
+
+def q_seen_anti_join(spark, sf_dir):
+    """J1/SO1 — the URL-seen anti-join shape (crawler.go:74-79)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J6 — geo-enrichment as broadcast dimension join (crawler.go:222-249)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """SO2/A1 — frontier-append union + dedup."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.select(F.col("o_custkey").alias("key"))
+        .union(customer.select(F.col("c_custkey").alias("key")))
+        .distinct()
+    )
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT key FROM (
+  SELECT o_custkey AS key FROM orders
+  UNION ALL SELECT c_custkey AS key FROM customer
+)
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 — aggregations
+# --------------------------------------------------------------------------
+
+def q_host_aggregate(spark, sf_dir):
+    """A3/A4/A6 — the per-host NetworkInfo aggregate shape
+    (crawler.go:186-219, sitemap.go:35-48): distinct count, sorted set,
+    integer total, avg with the ÷0→1 guard."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderstatus").cast("long").alias("status_count"),
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .withColumn(
+            "avg_cents_per_status",
+            F.floor(
+                F.col("total_cents") / F.greatest(F.lit(1), F.col("status_count"))
+            ).cast("long"),
+        )
+    )
+
+
+SQL_HOST_AGGREGATE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_count,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       count(*) AS n_orders,
+       CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            / greatest(1, count(DISTINCT o_orderstatus))) AS BIGINT) AS avg_cents_per_status
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_first_writer_wins(spark, sf_dir):
+    """A5 — deterministic first-writer-wins via min-(key) struct
+    (crawler.go:262-272 made deterministic, SURVEY §1.3)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+SQL_FIRST_WRITER_WINS = """
+SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_min_depth_merge(spark, sf_dir):
+    """A2/F7 — min-merge (crawler.go:141-144)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("min_line"),
+        F.max("l_linenumber").alias("max_line"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_MIN_DEPTH_MERGE = """
+SELECT l_orderkey, min(l_linenumber) AS min_line, max(l_linenumber) AS max_line,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Rollup — free-from-Spark grouping sets (SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 — window / ordering / top-k
+# --------------------------------------------------------------------------
+
+def q_politeness_rank_dequeue(spark, sf_dir):
+    """W2 — the politeness window-rank dequeue shape (crawler.go:57,105)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rank")
+    )
+
+
+SQL_POLITENESS_RANK_DEQUEUE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, rank FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rank
+  FROM lineitem)
+WHERE rank <= 3
+"""
+
+
+def q_window_topk_per_group(spark, sf_dir):
+    """W4 — top-k per group (skew-guard rank filter)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_WINDOW_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 2
+"""
+
+# --------------------------------------------------------------------------
+# §2.2 / §2.7 — filters & scalar functions
+# --------------------------------------------------------------------------
+
+def q_matcher_conjunction(spark, sf_dir):
+    """P2-P6 — ordered predicate conjunction (crawler.go:153-158)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").contains("1")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+SQL_MATCHER_CONJUNCTION = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 200000
+  AND contains(o_orderpriority, '1')
+"""
+
+
+def q_url_parse(spark, sf_dir):
+    """F1/F12 — URL parse → host/path/query-param over constructed URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract(url, r"https?://[^/]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"[?&]lang=([^&#]*)", 1).alias("lang_param"),
+    )
+
+
+SQL_URL_PARSE = """
+SELECT doc_id,
+       'http://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         || '?lang=' || lang AS url,
+       regexp_extract('http://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+                      'https?://([^/]+)', 1) AS host,
+       regexp_extract('http://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+                      'https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract('http://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+                      '[?&]lang=([^&#]*)', 1) AS lang_param
+FROM documents
+"""
+
+
+def q_edge_explode_tokens(spark, sf_dir):
+    """J5/X1 — explode fan-out (link edges ≙ token edges)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(dedup.normalized_words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EDGE_EXPLODE_TOKENS = f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest({_WORDS_SQL}) AS token FROM documents)
+GROUP BY token
+"""
+
+
+def q_event_window_agg(spark, sf_dir):
+    """§2.9 — tumbling-window micro-batch aggregate (round ≙ hour window)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+    )
+
+
+SQL_EVENT_WINDOW_AGG = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# training-data pipeline — dedup family
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES_SQL = """
+words AS (SELECT doc_id, {words} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [array_to_string(ws, ' ')] END) AS shingle
+    FROM words)),
+sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  {bands}),
+cand AS (
+  SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc < r.doc)
+""".format(
+    words=_WORDS_SQL,
+    mh_cols=",\n    ".join(
+        "min(" + _HASH_SQL.format(x=f"'{i}|' || shingle") + f") AS mh{i}"
+        for i in range(dedup.N_PERMS)
+    ),
+    bands="\n  UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band_id, "
+        f"CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR) AS band_key FROM sig"
+        for b in range(dedup.N_PERMS // dedup.BAND_SIZE)
+    ),
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_MINHASH_LSH = f"WITH {_SHINGLES_SQL} SELECT doc_a, doc_b FROM cand"
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_SQL},
+sets AS (SELECT doc_id, list_sort(list(DISTINCT shingle)) AS s FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+  FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH tok AS (SELECT doc_id, unnest({words}) AS w FROM documents),
+h AS (SELECT doc_id, {h} AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM s
+""".format(
+    words=_WORDS_SQL,
+    h=_HASH_SQL.format(x="w"),
+    sums=", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    ),
+    pack=" + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    ),
+)
+
+# --------------------------------------------------------------------------
+# training-data pipeline — text analysis
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    df = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long"),
+        F.col("n_bpe_tokens").cast("long"),
+        F.col("n_chars_computed").cast("long"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars_computed
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    df = textstats.quality_scores(_t(spark, sf_dir, "documents"))
+    return df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+SQL_QUALITY_SCORES = f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+               / greatest(len(ws), 1), 6) AS mean_token_len,
+         round(CAST(len(list_filter(ws, w -> list_contains({STOP_SQL}, w))) AS DOUBLE)
+               / greatest(len(ws), 1), 6) AS stopword_ratio,
+         round(CAST(n_punct AS DOUBLE) / greatest(len(text), 1), 6) AS punct_ratio
+  FROM base)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
+             * (CASE WHEN stopword_ratio > 0.02 AND stopword_ratio < 0.6
+                     THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+FROM r
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return textstats.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINTS = """
+WITH grams AS (
+  SELECT doc_id, {h} AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+                                 i -> substr(text, CAST(i AS INTEGER), 8))) AS gram
+    FROM documents))
+SELECT doc_id, min(gh) AS fp_min, list_sort(list(gh))[2] AS fp_second
+FROM grams GROUP BY doc_id
+""".format(h=_HASH_SQL.format(x="gram"))
+
+# --------------------------------------------------------------------------
+# training-data pipeline — similarity search
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5, query_mod=50)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+           FROM embeddings WHERE vec_id % 50 = 0),
+n AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b FROM embeddings),
+p AS (SELECT query_id, neighbor_id,
+             round(list_sum(list_transform(range(1, len(a) + 1), i -> a[i] * b[i]))
+                   / (sqrt(list_sum(list_transform(a, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b, x -> x * x)))), 6) AS cosine
+      FROM q, n WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.3
+"""
+
+# --------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible pandas-UDF pipelines)
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_similarity_lsh_bucketed(spark, sf_dir):
+    return similarity.bucketed_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, query_mod=50
+    )
+
+
+def q_multimodal_extract(spark, sf_dir):
+    """Multimodal plumbing over sf_dir: documents' text bytes as the opaque
+    binary payload (modality 'stub'), batch feature extraction."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("stub").alias("modality"),
+    )
+    return extract_features(docs, "doc_id", "payload", "modality")
+
+
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
+    "broadcast_dim_join": (q_broadcast_dim_join, SQL_BROADCAST_DIM_JOIN),
+    "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
+    "host_aggregate": (q_host_aggregate, SQL_HOST_AGGREGATE),
+    "first_writer_wins": (q_first_writer_wins, SQL_FIRST_WRITER_WINS),
+    "min_depth_merge": (q_min_depth_merge, SQL_MIN_DEPTH_MERGE),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "politeness_rank_dequeue": (q_politeness_rank_dequeue, SQL_POLITENESS_RANK_DEQUEUE),
+    "window_topk_per_group": (q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
+    "matcher_conjunction": (q_matcher_conjunction, SQL_MATCHER_CONJUNCTION),
+    "url_parse": (q_url_parse, SQL_URL_PARSE),
+    "edge_explode_tokens": (q_edge_explode_tokens, SQL_EDGE_EXPLODE_TOKENS),
+    "event_window_agg": (q_event_window_agg, SQL_EVENT_WINDOW_AGG),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "lang_id": (q_lang_id, None),
+    "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, None),
+    "multimodal_extract": (q_multimodal_extract, None),
+}
