@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Default run (what the driver invokes):
+  1. headline generic queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+     local[$SPARK_GRAFT_CPUS] — per-query seconds.
+  2. crawl throughput: full multi-round budgeted crawl on a cached synthetic
+     web — URLs dequeued+validated per second.
+  3. two-parallelism scaling evidence (sandbox stand-in for N vs 4N
+     executors): the single-round saturated fetch+validate+extract pipeline
+     at local[8] and local[32] via subprocesses, reporting throughput at
+     both, scaling efficiency = thr(4N) / (4 × thr(N)), and whether the
+     outputs are identical (determinism across parallelism, SURVEY §4.2.4).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "host_aggregate",
+    "broadcast_dim_join",
+    "politeness_rank_dequeue",
+    "window_topk_per_group",
+    "edge_explode_tokens",
+    "event_window_agg",
+    "dedup_minhash_lsh",
+    "quality_scores",
+    "cosine_topk",
+]
+
+SCALING_WEB = dict(seed=42, n_hosts=300, n_pages=int(os.environ.get("BENCH_WEB_PAGES", "1000000")))
+ROUNDS_WEB = dict(seed=42, n_hosts=100, n_pages=30000)
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _ensure_web(spark, params: dict) -> str:
+    from cs3103_gocrawler_spark.synthetic.webgen import WebConfig, generate_spark
+
+    d = os.path.join(CACHE, f"web_s{params['seed']}_h{params['n_hosts']}_p{params['n_pages']}")
+    if not os.path.exists(os.path.join(d, "pages.parquet", "_SUCCESS")):
+        cfg = WebConfig(**params)
+        generate_spark(spark, cfg, d, partitions=max(32, params["n_pages"] // 20000))
+    return d
+
+
+def _build(cores: int):
+    from cs3103_gocrawler_spark.session import build_session
+
+    return build_session(
+        app_name=f"bench[{cores}]", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    from cs3103_gocrawler_spark.plans.generic_queries import QUERIES
+
+    out = {}
+    for name in HEADLINE_QUERIES:
+        fn, _ = QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_crawl_rounds(spark, web_dir: str, state_dir: str) -> dict:
+    """Full micro-batch crawl (the semantics benchmark)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from cs3103_gocrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
+
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+    cfg = CrawlConfig(
+        max_depth=5, budget_per_host=20,
+        blacklist_hosts=("blocked0.test", "blocked1.test"),
+        validate=True, instrument_bloom=False,
+        bloom_capacity=1 << 22,
+    )
+    eng = CrawlEngine(spark, pages, cfg, state_dir)
+    t0 = time.monotonic()
+    eng.init_frontier(seeds.withColumn("priority", F.col("priority").cast("int")))
+    hist = eng.run()
+    wall = time.monotonic() - t0
+    dequeued = sum(h.get("dequeued", 0) for h in hist)
+    return {
+        "rounds": len(hist),
+        "urls_dequeued": dequeued,
+        "urls_fetched_ok": sum(h.get("fetched_ok", 0) for h in hist),
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(dequeued / wall, 1),
+    }
+
+
+def crawl_worker(cores: int, web_dir: str) -> dict:
+    """Saturated single-round pipeline: every page enters the frontier; one
+    round runs fetch-join → enrich → matchers → extract → validate. This is
+    the per-URL pipeline at full parallelism — the quantity that must scale
+    from N to 4N."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from cs3103_gocrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
+
+    spark = _build(cores)
+    try:
+        pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+        seeds = pages.select(
+            F.col("image_id").alias("url"), F.lit(0).cast("int").alias("priority")
+        )
+        import shutil
+
+        cfg = CrawlConfig(
+            max_depth=1, budget_per_host=None, validate=True,
+            instrument_bloom=False, bloom_capacity=1 << 22,
+        )
+        # run twice: pass 1 warms JVM codegen + Python workers + page cache,
+        # pass 2 is the measured steady-state throughput (standard practice;
+        # both passes are full engine runs on fresh state)
+        eng = hist = wall = None
+        for attempt in ("warm", "measured"):
+            state = os.path.join(CACHE, f"scale_state_{cores}_{attempt}")
+            shutil.rmtree(state, ignore_errors=True)
+            eng = CrawlEngine(spark, pages, cfg, state)
+            eng.init_frontier(seeds)
+            t0 = time.monotonic()
+            hist = eng.run()
+            wall = time.monotonic() - t0
+        n = sum(h.get("dequeued", 0) for h in hist)
+        visited = (
+            eng.visited_df()
+            .select("url", "depth", "parent")
+            .toPandas()
+            .sort_values("url")
+        )
+        digest = hashlib.sha256(
+            "\n".join(
+                f"{r.url}|{r.depth}|{r.parent}" for r in visited.itertuples()
+            ).encode()
+        ).hexdigest()
+        return {
+            "cores": cores,
+            "urls": n,
+            "wall_sec": round(wall, 3),
+            "urls_per_sec": round(n / wall, 1),
+            "visited_digest": digest,
+            "visited_n": len(visited),
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-worker", type=int, default=None,
+                    help="internal: run the scaling worker at N cores")
+    ap.add_argument("--web-dir", default=None)
+    ap.add_argument("--skip-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.crawl_worker:
+        res = crawl_worker(args.crawl_worker, args.web_dir)
+        print("WORKER_RESULT " + json.dumps(res))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    spark = _build(cpus)
+    queries = run_queries(spark, sf_dir)
+
+    rounds_web = _ensure_web(spark, ROUNDS_WEB)
+    import shutil
+
+    state = os.path.join(CACHE, "rounds_state")
+    shutil.rmtree(state, ignore_errors=True)
+    crawl = run_crawl_rounds(spark, rounds_web, state)
+
+    scaling = {}
+    if not args.skip_scaling:
+        scaling_web = _ensure_web(spark, SCALING_WEB)
+        spark.stop()
+        workers = {}
+        for cores in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--crawl-worker", str(cores), "--web-dir", scaling_web],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
+            if not line:
+                scaling = {"error": p.stderr[-500:]}
+                break
+            workers[cores] = json.loads(line[-1][len("WORKER_RESULT "):])
+        if workers.get(8) and workers.get(32):
+            thr8, thr32 = workers[8]["urls_per_sec"], workers[32]["urls_per_sec"]
+            scaling = {
+                "n_cores": 8,
+                "n4_cores": 32,
+                "urls_per_sec_n": thr8,
+                "urls_per_sec_4n": thr32,
+                "scaling_efficiency": round(thr32 / (4 * thr8), 3),
+                "identical_output": workers[8]["visited_digest"] == workers[32]["visited_digest"],
+                "urls": workers[32]["urls"],
+            }
+    else:
+        spark.stop()
+
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl": crawl,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

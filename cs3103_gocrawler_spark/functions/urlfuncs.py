@@ -13,9 +13,15 @@ conformance fixtures use absolute hrefs only, where both semantics agree.
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urljoin, urlsplit
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
+
+# Fast path: URLs already in canonical form (lowercase scheme+host, no port /
+# query / fragment / userinfo, non-empty path) pass through unchanged — by
+# construction the slow path below is the identity on exactly these strings.
+_CANONICAL_RE = re.compile(r"^https?://[a-z0-9.\-]+/[^?#\s]*$")
 
 
 def canonicalize_url(url: str, base: str | None = None) -> str | None:
@@ -26,6 +32,8 @@ def canonicalize_url(url: str, base: str | None = None) -> str | None:
     url = url.strip()
     if base:
         url = urljoin(base, url)
+    if _CANONICAL_RE.match(url):
+        return url
     try:
         p = urlsplit(url)
     except ValueError:

@@ -8,12 +8,22 @@ One round replaces one wave of the reference's goroutine tree
         └──fetch join vs pages + mapInPandas enrich (U2/J4)─┤
             outcome: ok / matcher / fetch_error (P1-P6)     │
             extract links (U3) → project body away          │
-            write fetched_r  ← single materialization point │
-    visited_r / rejected_r / seen_r ← cheap projections ────┤
+            write fetched_r  ← the ONE materialization point│
     children = explode(links) → canonicalize (U1)           │
              → robots gate → bloom + anti-join vs seen (J1) │
     frontier_{r+1} = min-(depth,parent) merge(children ∪ deferred)  (A5)
-    metrics_r, validation_r; manifest commit = checkpoint
+    validation_r (optional); manifest commit = checkpoint
+
+Job discipline (this matters at scale as much as shuffle discipline): a round
+runs exactly 5-6 Spark jobs — pending count, fetched write, one driver
+collect of (url_sha1, outcome) that feeds both the bloom update and the
+metrics counters, frontier write, frontier count, optional validation write.
+visited/rejected/seen are *views* over the fetched table (column-pruned,
+predicate-filtered parquet reads), not extra materializations; per-round
+metrics are buffered into the manifest and written as a table once at the
+end. The earlier 12-job round spent more wall-clock on fixed job overhead
+than on data at local-bench scale — the same tax a 1000-executor cluster
+pays in scheduler round-trips.
 
 Determinism: every output table has an order-insensitive definition; the
 recorded crawl ordering (W3) is ``row_number() OVER (PARTITION BY host ORDER
@@ -41,6 +51,11 @@ from ..storage import RoundCatalog
 VISITED_COLS = [
     "url", "host", "path", "url_sha1", "depth", "parent", "priority", "links",
     "resp_ms", "attempts", "backoff_ms", "round_id", "partition_id", "host_bucket",
+]
+
+METRIC_KEYS = [
+    "round_id", "pending", "dequeued", "fetched_ok", "rejected",
+    "new_urls", "deferred", "bloom_fp", "elapsed_ms",
 ]
 
 
@@ -87,6 +102,37 @@ class CrawlEngine:
         self._blacklist = frozenset(config.blacklist_hosts)
         self._extract = make_extract_udf(self._blacklist)
 
+    # -------------------------------------------------------------- views
+    def fetched_df(self, up_to_round: int | None = None) -> DataFrame | None:
+        return self.cat.read_all("fetched", up_to_round)
+
+    def visited_df(self, up_to_round: int | None = None) -> DataFrame | None:
+        """The VisitedPageInfo table (crawler.go:31) — a filtered view of the
+        fetched deltas; parquet column pruning keeps reads narrow."""
+        f = self.fetched_df(up_to_round)
+        return None if f is None else f.filter(F.col("outcome") == "ok").select(*VISITED_COLS)
+
+    def rejected_df(self, up_to_round: int | None = None) -> DataFrame | None:
+        f = self.fetched_df(up_to_round)
+        if f is None:
+            return None
+        return f.filter(F.col("outcome") != "ok").select(
+            "url", "url_sha1", F.col("outcome").alias("reason"), "round_id"
+        )
+
+    def seen_urls(self, up_to_round: int | None = None) -> DataFrame | None:
+        f = self.fetched_df(up_to_round)
+        return None if f is None else f.select("url")
+
+    def metrics_df(self) -> DataFrame | None:
+        man = self.cat.manifest() or {}
+        rows = [m for m in man.get("metrics", []) if m.get("dequeued", 0) > 0]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            [{k: m.get(k) for k in METRIC_KEYS} for m in rows]
+        )
+
     # ------------------------------------------------------------------ setup
     def init_frontier(self, seeds: DataFrame) -> None:
         """Round-0 frontier from seeds(url, priority) — S1 (explorer main.go:57-65)."""
@@ -97,8 +143,16 @@ class CrawlEngine:
             .withColumn("parent", F.lit(""))
         )
         f = self._robots_gate(f)
-        f = (
-            f.groupBy("url")
+        f = self._min_merge(f)
+        self.cat.write(f, "frontier", 0)
+        self.cat.commit_round(-1, {"metrics": []})
+
+    @staticmethod
+    def _min_merge(df: DataFrame) -> DataFrame:
+        """A5 — deterministic first-writer-wins: keep the lexicographically
+        smallest (depth, parent) and priority per URL (SURVEY §1.3)."""
+        return (
+            df.groupBy("url")
             .agg(
                 F.min(F.struct("depth", "parent")).alias("_dp"),
                 F.min("priority").alias("priority"),
@@ -112,8 +166,6 @@ class CrawlEngine:
                 "priority",
             )
         )
-        self.cat.write(f, "frontier", 0)
-        self.cat.commit_round(-1)
 
     def _robots_gate(self, df: DataFrame) -> DataFrame:
         """Drop URLs whose path matches a disallow prefix for their host
@@ -131,9 +183,18 @@ class CrawlEngine:
     # ------------------------------------------------------------------ rounds
     def _run_round(self, r: int) -> dict:
         t0 = time.monotonic()
+        timings: dict[str, float] = {}
+        _last = [t0]
+
+        def _mark(name: str) -> None:
+            now = time.monotonic()
+            timings[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         cfg = self.cfg
         pending = self.cat.read("frontier", r)
         pending_n = pending.count()
+        _mark("read_pending")
         if pending_n == 0:
             return {"round_id": r, "pending": 0, "terminated": True}
 
@@ -164,29 +225,22 @@ class CrawlEngine:
                 F.pmod(F.xxhash64("host"), F.lit(cfg.n_host_buckets)).cast("int"),
             )
         )
-        # the single expensive materialization of the round
+        # the ONE expensive materialization of the round
         self.cat.write(processed, "fetched", r)
+        _mark("fetch_extract_write")
         processed = self.cat.read("fetched", r)
 
-        visited = processed.filter(F.col("outcome") == "ok").select(*VISITED_COLS)
-        self.cat.write(visited, "visited", r)
-        self.cat.write(
-            processed.filter(F.col("outcome") != "ok").select(
-                "url", "url_sha1", F.col("outcome").alias("reason"), "round_id"
-            ),
-            "rejected", r,
-        )
-        self.cat.write(processed.select("url", "url_sha1"), "seen", r)
-
-        # update driver-side bloom with this round's newly-seen sha1s
-        new_sha1s = processed.select("url_sha1").toPandas()["url_sha1"].to_numpy()
-        self.bloom.add(new_sha1s)
+        # one driver collect feeds both the bloom update and the metric counts
+        stats = processed.select("url_sha1", "outcome").toPandas()
+        self.bloom.add(stats["url_sha1"].to_numpy())
+        outcome_counts = stats["outcome"].value_counts().to_dict()
+        _mark("stats_collect")
 
         # children: J5 edge construction — parent rides the row, no join needed
         depth_cap = cfg.max_depth - 1  # crawler.go:59
+        visited_r = processed.filter(F.col("outcome") == "ok")
         children = (
-            self.cat.read("visited", r)
-            .filter(F.col("depth") + 1 <= depth_cap)
+            visited_r.filter(F.col("depth") + 1 <= depth_cap)
             .select(
                 F.col("url").alias("parent"),
                 F.explode("links").alias("url"),
@@ -197,58 +251,53 @@ class CrawlEngine:
         children = with_canonical(children)  # idempotent; adds host/path/sha1
         children = self._robots_gate(children)
 
-        seen_all = self.cat.read_all("seen", up_to_round=r)
+        seen_all = self.seen_urls(up_to_round=r)
         unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
         bloom_fp_n = bloom_fps.count() if cfg.instrument_bloom else -1
 
         frontier_cols = ["url", "host", "path", "url_sha1", "depth", "parent", "priority"]
         merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
-        nxt = (
-            merged.groupBy("url")
-            .agg(
-                F.min(F.struct("depth", "parent")).alias("_dp"),
-                F.min("priority").alias("priority"),
-                F.first("host").alias("host"),
-                F.first("path").alias("path"),
-                F.first("url_sha1").alias("url_sha1"),
-            )
-            .select(
-                "url", "host", "path", "url_sha1",
-                F.col("_dp.depth").alias("depth"), F.col("_dp.parent").alias("parent"),
-                "priority",
-            )
-        )
-        self.cat.write(nxt, "frontier", r + 1)
+        self.cat.write(self._min_merge(merged), "frontier", r + 1)
+        _mark("frontier_write")
+        next_n = self.cat.count("frontier", r + 1)
+        _mark("frontier_count")
 
         if cfg.validate:
             val_in = self.pages.join(
-                self.cat.read("visited", r).select(F.col("url").alias("image_id")),
-                "image_id",
+                visited_r.select(F.col("url").alias("image_id")), "image_id"
             )
             self.cat.write(validate_payloads(val_in, cfg.gen_seed), "validation", r)
+            _mark("validate_write")
 
-        # metrics (A7 / north_rule lineage+metrics requirement)
-        outcome_counts = dict(
-            processed.groupBy("outcome").count().toPandas().itertuples(index=False)
-        )
-        dequeued_n = int(sum(outcome_counts.values()))
+        dequeued_n = int(len(stats))
         deferred_n = pending_n - dequeued_n
-        next_n = self.cat.count("frontier", r + 1)
         m = {
             "round_id": r,
-            "pending": pending_n,
+            "pending": int(pending_n),
             "dequeued": dequeued_n,
             "fetched_ok": int(outcome_counts.get("ok", 0)),
-            "rejected": int(outcome_counts.get("matcher", 0) + outcome_counts.get("fetch_error", 0)),
-            "new_urls": next_n - deferred_n,
-            "deferred": deferred_n,
-            "bloom_fp": bloom_fp_n,
+            "rejected": int(
+                outcome_counts.get("matcher", 0) + outcome_counts.get("fetch_error", 0)
+            ),
+            "new_urls": int(next_n - deferred_n),
+            "deferred": int(deferred_n),
+            "bloom_fp": int(bloom_fp_n),
             "elapsed_ms": int((time.monotonic() - t0) * 1000),
         }
-        self.cat.write(self.spark.createDataFrame([m]), "metrics", r)
-        self.cat.commit_round(r)
-        m["terminated"] = next_n == 0
-        return m
+        man = self.cat.manifest() or {"metrics": []}
+        metrics = [x for x in man.get("metrics", []) if x["round_id"] < r] + [m]
+        self.cat.commit_round(r, {"metrics": metrics})
+        _mark("commit")
+        return {**m, "terminated": next_n == 0, "timings": timings}
+
+    def _finalize(self) -> None:
+        """Write the buffered per-round metrics as a table (A7 / north_rule
+        metrics requirement) — one job at termination instead of one per round."""
+        mdf = self.metrics_df()
+        if mdf is not None:
+            mdf.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.cat.state_dir}/metrics_table"
+            )
 
     def run(self, resume: bool = False) -> list[dict]:
         """Run rounds until the frontier drains. ``resume=True`` continues
@@ -258,14 +307,17 @@ class CrawlEngine:
             raise RuntimeError("call init_frontier(seeds) first")
         start = man["last_round"] + 1
         if resume and start > 0:
-            self.cat.drop_rounds_after(man["last_round"] + 0)
-            seen_all = self.cat.read_all("seen", up_to_round=man["last_round"])
-            if seen_all is not None:
-                self.bloom.add(seen_all.select("url_sha1").toPandas()["url_sha1"].to_numpy())
+            self.cat.drop_rounds_after(man["last_round"])
+            seen = self.fetched_df(up_to_round=man["last_round"])
+            if seen is not None:
+                self.bloom.add(
+                    seen.select("url_sha1").toPandas()["url_sha1"].to_numpy()
+                )
         history: list[dict] = []
         for r in range(start, self.cfg.max_rounds):
             m = self._run_round(r)
             history.append(m)
             if m.get("terminated"):
                 break
+        self._finalize()
         return history

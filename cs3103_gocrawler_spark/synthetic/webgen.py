@@ -114,9 +114,10 @@ def page_caption(seed: int, url: str) -> str:
 def page_resp_ms(seed: int, url: str) -> int:
     """Deterministic synthetic fetch latency (10..500 ms) — the stand-in for
     wall-clock response time in host aggregates (A4), regenerable by both the
-    fetch UDF and the oracle."""
-    rng = _rng_for(seed, f"rt|{url}")
-    return int(rng.integers(10, 501))
+    fetch UDF and the oracle. Direct sha1 derivation (no PRNG object) — this
+    runs per fetched row in the hot path."""
+    d = hashlib.sha1(f"{seed}|rt|{url}".encode()).digest()
+    return 10 + int.from_bytes(d[:4], "big") % 491
 
 
 def page_fmt(seed: int, url: str) -> str:

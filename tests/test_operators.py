@@ -1,0 +1,143 @@
+"""Operator-level unit tests: politeness exactness, bloom behavior,
+similarity recall, multimodal plumbing, and physical-plan sanity
+(pushdown / broadcast — the §4.2 scale discipline)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F  # noqa: N812
+
+from cs3103_gocrawler_spark.functions.urlfuncs import sha1_64
+from cs3103_gocrawler_spark.operators.politeness import dequeue
+from cs3103_gocrawler_spark.operators.seen import Bloom
+from cs3103_gocrawler_spark.operators.similarity import bucketed_cosine_topk, cosine_topk
+
+
+def _pending_df(spark, n_hosts=5, per_host=40):
+    rows = []
+    for h in range(n_hosts):
+        for i in range(per_host):
+            url = f"http://h{h}.test/p/{i}"
+            rows.append({
+                "url": url, "host": f"h{h}.test", "path": f"/p/{i}",
+                "url_sha1": sha1_64(url), "depth": i % 4, "parent": "",
+                "priority": i % 3,
+            })
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_two_phase_dequeue_is_exact_per_host_topk(spark):
+    """The salted two-phase rank must select EXACTLY the per-host top-B by
+    (priority, depth, url) — same as a single global window."""
+    pending = _pending_df(spark)
+    B = 7
+    dq, df_deferred = dequeue(pending, B, salt_buckets=4)
+    got = dq.toPandas()
+    want = (
+        pending.toPandas()
+        .sort_values(["host", "priority", "depth", "url"])
+        .groupby("host")
+        .head(B)
+    )
+    assert sorted(got["url"]) == sorted(want["url"])
+    assert dq.count() + df_deferred.count() == pending.count()
+
+
+def test_dequeue_unlimited(spark):
+    pending = _pending_df(spark, 2, 5)
+    dq, deferred = dequeue(pending, None)
+    assert dq.count() == 10 and deferred.count() == 0
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    rng = np.random.default_rng(0)
+    added = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    other = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    other = np.setdiff1d(other, added)
+    b = Bloom(capacity=50_000, fpr=1e-3)
+    b.add(added)
+    assert b.might_contain(added).all()  # zero false negatives
+    fpr = b.might_contain(other).mean()
+    assert fpr < 0.01, f"FPR too high: {fpr}"
+
+
+def test_bloom_empty_rejects_all():
+    b = Bloom(capacity=100)
+    assert not b.might_contain(np.array([1, 2, 3], dtype=np.int64)).any()
+
+
+def _emb_df(spark, n=120, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(6, dim))
+    rows = []
+    for i in range(n):
+        v = base[i % 6] + rng.normal(scale=0.3, size=dim)
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_cosine_topk_exact_vs_numpy(spark):
+    emb = _emb_df(spark)
+    got = cosine_topk(emb, k=3, query_mod=40).toPandas()
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in [0, 40, 80]:
+        sims = mat @ mat[q]
+        sims[q] = -np.inf
+        order = np.lexsort((np.arange(len(sims)), -np.round(sims, 6)))
+        want = list(order[:3])
+        rows = got[got.query_id == q].sort_values("rank")
+        assert list(rows["neighbor_id"]) == want, f"query {q}"
+
+
+def test_lsh_bucketed_recall(spark):
+    """Clustered vectors: bucketed ANN should recover most exact neighbors."""
+    emb = _emb_df(spark, n=150)
+    exact = cosine_topk(emb, k=3, query_mod=50).toPandas()
+    approx = bucketed_cosine_topk(emb, k=3, query_mod=50, n_planes=4).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_multimodal_extract_real_and_stub(spark, tiny_web):
+    from cs3103_gocrawler_spark.operators.multimodal import extract_features, resize_images
+    from cs3103_gocrawler_spark.synthetic.imagecodec import decode_png
+
+    cfg_web, web_dir = tiny_web
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet").limit(20)
+    feats = extract_features(pages, "image_id", "bytes", "fmt").toPandas()
+    assert feats["decode_ok"].all()
+    assert feats["feature"].map(len).eq(16).all()
+    # stub modality path
+    stub = pages.withColumn("fmt", F.lit("audio"))
+    sfeats = extract_features(stub, "image_id", "bytes", "fmt").toPandas()
+    assert sfeats["decode_ok"].all()
+    # resize produces decodable 8x8 PNGs
+    small = resize_images(pages, "image_id", "bytes", "fmt").toPandas()
+    assert len(small) == 20
+    px = decode_png(bytes(small["out_bytes"].iloc[0]))
+    assert px.shape == (8, 8, 3)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """§4.2 discipline: predicate + projection must reach the parquet scan."""
+    sf = "/root/testdata/sf0.01"
+    df = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_broadcast_join_chosen(spark):
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -45,7 +45,7 @@ def oracle_run(cfg_web, crawl_cfg, robots=False):
 
 
 def compare(eng, oracle):
-    visited = eng.cat.read_all("visited").toPandas()
+    visited = eng.visited_df().toPandas()
     got = {
         r.url: (int(r.depth), r.parent, list(r.links)) for r in visited.itertuples()
     }
@@ -58,13 +58,13 @@ def compare(eng, oracle):
     for u in want:
         assert got[u] == want[u], f"{u}: engine {got[u]} != oracle {want[u]}"
 
-    order = crawl_order(eng.cat.read_all("visited")).toPandas()
+    order = crawl_order(eng.visited_df()).toPandas()
     got_order = sorted(
         (r.host, int(r.seq), r.url) for r in order.itertuples()
     )
     assert got_order == sorted(oracle.order)
 
-    rep = host_report(eng.cat.read_all("visited")).toPandas()
+    rep = host_report(eng.visited_df()).toPandas()
     got_stats = {
         r.host: (int(r.path_count), list(r.visited_paths),
                  int(r.total_response_ms), int(r.avg_response_ms))
@@ -77,7 +77,7 @@ def compare(eng, oracle):
     }
     assert got_stats == want_stats
 
-    rejected = eng.cat.read_all("rejected")
+    rejected = eng.rejected_df()
     got_rej = {r.url: r.reason for r in rejected.toPandas().itertuples()} if rejected is not None else {}
     assert got_rej == oracle.rejected
 
@@ -128,6 +128,6 @@ def test_depth_off_by_one_semantics(spark, tiny_web, tmp_path):
     cfg_web, web_dir = tiny_web
     crawl_cfg = CrawlConfig(max_depth=1, blacklist_hosts=cfg_web.blacklist_hosts)
     eng, _ = run_engine(spark, cfg_web, web_dir, str(tmp_path / "s"), crawl_cfg)
-    visited = eng.cat.read_all("visited").toPandas()
+    visited = eng.visited_df().toPandas()
     assert set(visited["depth"]) <= {0}
     assert len(visited) <= cfg_web.n_seeds

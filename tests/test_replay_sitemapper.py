@@ -49,7 +49,7 @@ def test_replay_visited_set_and_depths(spark, tmp_path, fixture_data):
     eng.init_frontier(seeds)
     eng.run()
 
-    visited = eng.cat.read_all("visited").toPandas()
+    visited = eng.visited_df().toPandas()
     got = {r.url: (int(r.depth), r.parent, sorted(r.links)) for r in visited.itertuples()}
     want = {
         url: (info["depth"], info["parent"], sorted(info["links"]))
@@ -71,7 +71,7 @@ def test_replay_visited_set_and_depths(spark, tmp_path, fixture_data):
     # host stats: 10 distinct paths on the one host
     from cs3103_gocrawler_spark.plans.report import host_report
 
-    rep = host_report(eng.cat.read_all("visited")).toPandas()
+    rep = host_report(eng.visited_df()).toPandas()
     assert len(rep) == 1
     row = rep.iloc[0]
     assert row["host"] == "yusufaine.dev"

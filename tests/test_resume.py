@@ -9,13 +9,13 @@ from cs3103_gocrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
 
 def _state_fingerprint(eng):
     visited = (
-        eng.cat.read_all("visited")
+        eng.visited_df()
         .toPandas()
         .sort_values("url")
         .reset_index(drop=True)
     )
     order = (
-        crawl_order(eng.cat.read_all("visited"))
+        crawl_order(eng.visited_df())
         .toPandas()
         .sort_values(["host", "seq"])
         .reset_index(drop=True)
@@ -67,11 +67,11 @@ def test_resume_discards_uncommitted_partials(spark, tiny_web, tmp_path):
     eng.init_frontier(seeds)
     eng._run_round(0)
     # simulate a crash mid-round-1: write a garbage partial 'visited' delta
-    eng.cat.write(eng.cat.read("visited", 0).limit(1), "visited", 1)
-    assert eng.cat.exists("visited", 1)
+    eng.cat.write(eng.cat.read("fetched", 0).limit(1), "fetched", 1)
+    assert eng.cat.exists("fetched", 1)
 
     resumed = CrawlEngine(spark, pages, cfg, str(tmp_path / "s"))
     resumed.run(resume=True)
     # round 1 was re-run cleanly; the partial was replaced, not appended
-    v1 = resumed.cat.read("visited", 1).toPandas()
+    v1 = resumed.cat.read("fetched", 1).toPandas()
     assert (v1["round_id"] == 1).all()

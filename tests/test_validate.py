@@ -38,6 +38,6 @@ def test_engine_validation_table(spark, tiny_web, tmp_path):
     eng.init_frontier(seeds)
     eng.run()
     val = eng.cat.read_all("validation").toPandas()
-    vis = eng.cat.read_all("visited").toPandas()
+    vis = eng.visited_df().toPandas()
     assert set(val["url"]) == set(vis["url"])
     assert val["valid"].all()
