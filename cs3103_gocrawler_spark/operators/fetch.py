@@ -32,21 +32,28 @@ from ..synthetic.webgen import page_resp_ms
 FETCH_COLS = ("image_id", "status", "content_type", "body_html")
 
 
+PAYLOAD_COLS = ("bytes", "w", "h", "fmt", "caption", "phash")
+
+
 def synthetic_fetch(
     dequeued: DataFrame,
     pages: DataFrame,
     max_retries: int = 3,
     resp_seed: int = 42,
     backoff_policy: str = "exponential",
+    with_payload: bool = False,
 ) -> DataFrame:
     """Fetch-join + enrich. Output adds: found(bool), status, content_type,
-    body_html, resp_ms, attempts, backoff_ms, partition_id (lineage)."""
-    pruned = pages.select(
-        F.col("image_id").alias("url"),
-        "status",
-        "content_type",
-        "body_html",
+    body_html, resp_ms, attempts, backoff_ms, partition_id (lineage).
+
+    ``with_payload=True`` carries the image payload columns through so the
+    validation stage runs inline in the same pass (no second join against the
+    pages table; the payload reaches a Python worker exactly once — in a real
+    crawl this is where the HTTP body lands anyway)."""
+    cols = ["status", "content_type", "body_html"] + (
+        list(PAYLOAD_COLS) if with_payload else []
     )
+    pruned = pages.select(F.col("image_id").alias("url"), *cols)
     joined = dequeued.join(pruned, "url", "left").withColumn(
         "found", F.col("status").isNotNull()
     )

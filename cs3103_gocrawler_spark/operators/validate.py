@@ -34,30 +34,78 @@ def validate_payloads(fetched_pages: DataFrame, gen_seed: int = 42) -> DataFrame
     """``fetched_pages`` needs (image_id, bytes, w, h, fmt, caption, phash)."""
 
     def check(batches):
+        import pandas as pd
+
         for pdf in batches:
             rows = {k: [] for k in
                     ("url", "fmt", "decode_ok", "psnr_db", "phash_ok", "caption_ok", "valid")}
             for r in pdf.itertuples():
-                url, fmt = r.image_id, r.fmt
-                ref_px = page_pixels(gen_seed, url, int(r.w), int(r.h))
-                decode_ok, p_db = False, 0.0
-                try:
-                    px = decode_image(bytes(r.bytes), fmt)
-                    p_db = psnr(ref_px, px)
-                    decode_ok = (px == ref_px).all() if fmt == "png" else p_db >= PSNR_GATE_DB
-                except Exception:
-                    px = None
-                phash_ok = px is not None and phash64(ref_px) == int(r.phash)
-                caption_ok = page_caption(gen_seed, url) == r.caption
-                rows["url"].append(url)
-                rows["fmt"].append(fmt)
-                rows["decode_ok"].append(bool(decode_ok))
-                rows["psnr_db"].append(float(min(p_db, 1e6)))
-                rows["phash_ok"].append(bool(phash_ok))
-                rows["caption_ok"].append(bool(caption_ok))
-                rows["valid"].append(bool(decode_ok and phash_ok and caption_ok))
-            import pandas as pd
+                vals = _validate_row(
+                    r.image_id, bytes(r.bytes), r.w, r.h, r.fmt,
+                    r.caption, r.phash, gen_seed,
+                )
+                rows["url"].append(r.image_id)
+                rows["fmt"].append(r.fmt)
+                for k, v in zip(VALIDATION_COL_NAMES, vals):
+                    rows[k].append(v)
             yield pd.DataFrame(rows)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     return fetched_pages.select(*cols).mapInPandas(check, schema=VALIDATION_SCHEMA)
+
+
+VALIDATION_COL_NAMES = ("decode_ok", "psnr_db", "phash_ok", "caption_ok", "valid")
+
+
+def _validate_row(url, payload, w, h, fmt, caption, phash, gen_seed):
+    ref_px = page_pixels(gen_seed, url, int(w), int(h))
+    decode_ok, p_db, px = False, 0.0, None
+    try:
+        px = decode_image(payload, fmt)
+        p_db = psnr(ref_px, px)
+        decode_ok = (px == ref_px).all() if fmt == "png" else p_db >= PSNR_GATE_DB
+    except Exception:
+        px = None
+    phash_ok = px is not None and phash64(ref_px) == int(phash)
+    caption_ok = page_caption(gen_seed, url) == caption
+    return (
+        bool(decode_ok),
+        float(min(p_db, 1e6)),
+        bool(phash_ok),
+        bool(caption_ok),
+        bool(decode_ok and phash_ok and caption_ok),
+    )
+
+
+def with_validation_columns(df, gen_seed: int = 42, url_col: str = "url"):
+    """Inline validation: appends decode_ok/psnr_db/phash_ok/caption_ok/valid
+    to a batch that carries the payload columns (fetch.PAYLOAD_COLS); rows
+    without a payload (fetch miss) get nulls. Runs in the same Arrow pass as
+    the fetch pipeline — the payload never crosses an extra shuffle."""
+    import pandas as pd
+
+    in_schema = df.schema.simpleString()[7:-1]
+    out_schema = (
+        in_schema
+        + ",decode_ok boolean,psnr_db double,phash_ok boolean,"
+        + "caption_ok boolean,valid boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            cols = {k: [] for k in VALIDATION_COL_NAMES}
+            for r in pdf.itertuples():
+                payload = getattr(r, "bytes")
+                if payload is None or getattr(r, "fmt") is None:
+                    for k in VALIDATION_COL_NAMES:
+                        cols[k].append(None)
+                    continue
+                vals = _validate_row(
+                    getattr(r, url_col), bytes(payload), r.w, r.h, r.fmt,
+                    r.caption, r.phash, gen_seed,
+                )
+                for k, v in zip(VALIDATION_COL_NAMES, vals):
+                    cols[k].append(v)
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(run, schema=out_schema)

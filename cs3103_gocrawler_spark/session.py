@@ -30,10 +30,16 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches = far fewer JVM↔python socket roundtrips; this
+        # sandbox (Firecracker) makes syscalls expensive, and a real cluster
+        # benefits the same way (less per-batch overhead in pandas UDFs)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

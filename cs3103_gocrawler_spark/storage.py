@@ -31,6 +31,49 @@ def _rdir(kind: str, round_id: int) -> str:
     return f"{kind}/r{round_id:05d}"
 
 
+def register_bucketed_pages(
+    spark: SparkSession,
+    pages_parquet: str,
+    table_name: str = "pages_bucketed",
+    n_buckets: int = 64,
+    warehouse_subdir: str | None = None,
+) -> str:
+    """Write/register the pages table bucketed+sorted by ``image_id``.
+
+    This is the local stand-in for the Iceberg storage-partitioned join
+    (SURVEY.md §4.2.5): with the big side bucketed on the join key, the
+    per-round fetch join shuffles ONLY the frontier side — the page payloads
+    (bytes, body_html) never cross an exchange. First call materializes the
+    bucketed files via ``bucketBy().sortBy().saveAsTable``; later sessions
+    re-register the existing files with the same bucket spec DDL.
+    """
+    if spark.catalog.tableExists(table_name):
+        return table_name
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    loc = os.path.join(warehouse, f"{table_name.lower()}")
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        # files already bucketed by a previous session — re-declare the table
+        # (explicit column list required when specifying bucketing)
+        schema = spark.read.parquet(loc).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {table_name} ({cols}) "
+            f"USING parquet CLUSTERED BY (image_id) SORTED BY (image_id) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+        spark.sql(f"REFRESH TABLE {table_name}")
+        return table_name
+    (
+        spark.read.parquet(pages_parquet)
+        .repartition(n_buckets, "image_id")
+        .write.bucketBy(n_buckets, "image_id")
+        .sortBy("image_id")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
 class RoundCatalog:
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark

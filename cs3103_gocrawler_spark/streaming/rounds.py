@@ -7,23 +7,26 @@ One round replaces one wave of the reference's goroutine tree
         │ deferred (stays pending)                          │
         └──fetch join vs pages + mapInPandas enrich (U2/J4)─┤
             outcome: ok / matcher / fetch_error (P1-P6)     │
-            extract links (U3) → project body away          │
-            write fetched_r  ← the ONE materialization point│
+            extract links (U3)                              │
+            inline payload validation (U4/X5, when enabled) │
+            project payload away → write fetched_r          │
+                       ↑ the ONE materialization point      │
     children = explode(links) → canonicalize (U1)           │
              → robots gate → bloom + anti-join vs seen (J1) │
     frontier_{r+1} = min-(depth,parent) merge(children ∪ deferred)  (A5)
-    validation_r (optional); manifest commit = checkpoint
+    manifest commit = checkpoint
 
 Job discipline (this matters at scale as much as shuffle discipline): a round
-runs exactly 5-6 Spark jobs — pending count, fetched write, one driver
-collect of (url_sha1, outcome) that feeds both the bloom update and the
-metrics counters, frontier write, frontier count, optional validation write.
-visited/rejected/seen are *views* over the fetched table (column-pruned,
-predicate-filtered parquet reads), not extra materializations; per-round
-metrics are buffered into the manifest and written as a table once at the
-end. The earlier 12-job round spent more wall-clock on fixed job overhead
-than on data at local-bench scale — the same tax a 1000-executor cluster
-pays in scheduler round-trips.
+runs exactly 5 Spark jobs — pending count, fetched write, one driver collect
+of (url_sha1, outcome) that feeds both the bloom update and the metrics
+counters, frontier write, frontier count. visited/rejected/seen/validation
+are *views* over the fetched table (column-pruned, predicate-filtered parquet
+reads), not extra materializations; payload validation runs inside the fetch
+pass (the payload reaches a Python worker exactly once and never re-joins);
+per-round metrics are buffered into the manifest and written as a table once
+at the end. The earlier 12-job round spent more wall-clock on fixed job
+overhead than on data at local-bench scale — the same tax a 1000-executor
+cluster pays in scheduler round-trips.
 
 Determinism: every output table has an order-insensitive definition; the
 recorded crawl ordering (W3) is ``row_number() OVER (PARTITION BY host ORDER
@@ -41,11 +44,11 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators.canonicalize import with_canonical
 from ..operators.extract import make_extract_udf
-from ..operators.fetch import synthetic_fetch
+from ..operators.fetch import PAYLOAD_COLS, synthetic_fetch
 from ..operators.matchers import conjunction
 from ..operators.politeness import dequeue
 from ..operators.seen import Bloom, filter_unseen
-from ..operators.validate import validate_payloads
+from ..operators.validate import VALIDATION_COL_NAMES, with_validation_columns
 from ..storage import RoundCatalog
 
 VISITED_COLS = [
@@ -124,6 +127,16 @@ class CrawlEngine:
         f = self.fetched_df(up_to_round)
         return None if f is None else f.select("url")
 
+    def validation_df(self, up_to_round: int | None = None) -> DataFrame | None:
+        """Per-URL payload-validation records (X5) — a view of the fetched
+        table (populated when config.validate is on)."""
+        f = self.fetched_df(up_to_round)
+        if f is None or "valid" not in f.columns:
+            return None
+        return f.filter(F.col("outcome") == "ok").select(
+            "url", "fmt", *VALIDATION_COL_NAMES, "round_id"
+        )
+
     def metrics_df(self) -> DataFrame | None:
         man = self.cat.manifest() or {}
         rows = [m for m in man.get("metrics", []) if m.get("dequeued", 0) > 0]
@@ -201,7 +214,8 @@ class CrawlEngine:
         dequeued, deferred = dequeue(pending, cfg.budget_per_host, cfg.salt_buckets)
 
         fetched = synthetic_fetch(
-            dequeued, self.pages, max_retries=cfg.max_retries, resp_seed=cfg.gen_seed
+            dequeued, self.pages, max_retries=cfg.max_retries,
+            resp_seed=cfg.gen_seed, with_payload=cfg.validate,
         )
         ok = F.col("found") & conjunction(list(cfg.matchers))
         processed = (
@@ -225,6 +239,14 @@ class CrawlEngine:
                 F.pmod(F.xxhash64("host"), F.lit(cfg.n_host_buckets)).cast("int"),
             )
         )
+        if cfg.validate:
+            # inline payload validation (north_star: each round decodes +
+            # validates inside the fetch pass) — adds decode_ok/psnr_db/
+            # phash_ok/caption_ok/valid, then drops the payload columns so
+            # they never reach disk or a shuffle
+            processed = with_validation_columns(processed, cfg.gen_seed).drop(
+                *[c for c in PAYLOAD_COLS if c != "fmt"]  # fmt kept as lineage
+            )
         # the ONE expensive materialization of the round
         self.cat.write(processed, "fetched", r)
         _mark("fetch_extract_write")
@@ -261,13 +283,6 @@ class CrawlEngine:
         _mark("frontier_write")
         next_n = self.cat.count("frontier", r + 1)
         _mark("frontier_count")
-
-        if cfg.validate:
-            val_in = self.pages.join(
-                visited_r.select(F.col("url").alias("image_id")), "image_id"
-            )
-            self.cat.write(validate_payloads(val_in, cfg.gen_seed), "validation", r)
-            _mark("validate_write")
 
         dequeued_n = int(len(stats))
         deferred_n = pending_n - dequeued_n

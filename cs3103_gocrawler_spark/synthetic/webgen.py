@@ -164,11 +164,18 @@ def page_links(cfg: WebConfig, host_idx: int, page_idx: int, pph: np.ndarray) ->
 
 def render_body_html(url: str, caption: str, links: list[str]) -> str:
     """Absolute-href HTML body (FIXTURES.md §2: absolute-only so the
-    reference's relative-URL aliasing quirk cannot diverge)."""
+    reference's relative-URL aliasing quirk cannot diverge). Includes a
+    caption-word table — the scrape target for the X4 operator
+    (tianalyser.go:80-118 analog)."""
     anchors = "\n".join(f'<a href="{href}">link</a>' for href in links)
+    words = caption.split(" ")[:-1]  # drop the trailing [url] marker
+    table_rows = "\n".join(
+        f"<tr><td>{i}</td><td>{w}</td></tr>" for i, w in enumerate(words)
+    )
     return (
         f"<html><head><title>{url}</title></head><body>\n"
-        f"<a name=\"top\"></a>\n<p>{caption}</p>\n{anchors}\n</body></html>"
+        f"<a name=\"top\"></a>\n<p>{caption}</p>\n"
+        f"<table>\n{table_rows}\n</table>\n{anchors}\n</body></html>"
     )
 
 

@@ -1,0 +1,64 @@
+"""X4 scrape operator + Structured Streaming window aggregation."""
+
+from cs3103_gocrawler_spark.operators.scrape import (
+    extract_tables_py,
+    scrape_tables,
+    split_player_list,
+)
+
+
+def test_extract_tables_py_cleaning():
+    html = (
+        "<table><tr><td>0</td><td>United&nbsp;States</td></tr>"
+        "<tr><td>1</td><td><b>a, b ,c</b></td></tr></table>"
+    )
+    tables = extract_tables_py(html)
+    assert tables == [[["0", "UnitedStates"], ["1", "a, b ,c"]]]
+    assert split_player_list("a, b ,c") == ["a", "b", "c"]
+
+
+def test_scrape_tables_matches_captions(spark, tiny_web):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    cfg_web, web_dir = tiny_web
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet").limit(10)
+    rows = scrape_tables(
+        pages, url_col="image_id", body_col="body_html"
+    ).toPandas()
+    caps = {r.image_id: r.caption for r in pages.select("image_id", "caption").collect()}
+    assert set(rows["url"]) == set(caps)
+    for url, grp in rows.groupby("url"):
+        words = caps[url].split(" ")[:-1]
+        got = grp.sort_values("row_idx")["cells"].tolist()
+        assert [c[1] for c in got] == words
+    assert F is not None
+
+
+def test_structured_streaming_matches_batch(spark, tmp_path):
+    """availableNow stream over the events parquet equals the batch window agg."""
+    from cs3103_gocrawler_spark.plans.generic_queries import q_event_window_agg
+    from cs3103_gocrawler_spark.streaming.events_stream import (
+        stream_event_window_counts,
+        streamed_counts_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    q = stream_event_window_counts(
+        spark, f"{sf}/events.parquet", schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = (
+        streamed_counts_df(spark).toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    want = (
+        q_event_window_agg(spark, sf).toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    assert got[["window_start", "event_type", "n_events", "value_milli"]].equals(
+        want[["window_start", "event_type", "n_events", "value_milli"]]
+    )

@@ -37,7 +37,7 @@ def test_engine_validation_table(spark, tiny_web, tmp_path):
     eng = CrawlEngine(spark, pages, cfg, str(tmp_path / "v"))
     eng.init_frontier(seeds)
     eng.run()
-    val = eng.cat.read_all("validation").toPandas()
+    val = eng.validation_df().toPandas()
     vis = eng.visited_df().toPandas()
     assert set(val["url"]) == set(vis["url"])
     assert val["valid"].all()
