@@ -65,6 +65,48 @@ def host_report_with_geo(spark: SparkSession, visited: DataFrame) -> DataFrame:
     return rep.join(F.broadcast(dim), "host", "left")
 
 
+def write_report(engine, path: str, wall_sec: float, config: dict) -> dict:
+    """S7 — the JSON report sink (filewriter.ToJSON, explorerreport.go:12-21):
+    scalar header (seeds/depth/rps analog/crawl_time) + per-host network_info
+    (A3/A4/A6 + geo J6) + per-URL page_info, one file.
+
+    The aggregates run as Spark jobs; only the final (small) report rows are
+    collected driver-side — page bodies never enter the report."""
+    import json
+    import os
+
+    visited = engine.visited_df()
+    spark = engine.spark
+    net = {}
+    page = {}
+    if visited is not None:
+        for r in host_report_with_geo(spark, visited).collect():
+            net[r["host"]] = [{
+                "remote_ip_info": [{
+                    "ip": r["ip"], "location": r["location"], "as_number": r["as_number"],
+                }],
+                "avg_response_ms": r["avg_response_ms"],
+                "path_count": r["path_count"],
+                "visited_paths": list(r["visited_paths"]),
+            }]
+        for r in visited.select("url", "depth", "parent", "links").collect():
+            page[r["url"]] = {
+                "depth": r["depth"],
+                "parent": r["parent"],
+                "links": sorted(r["links"] or []),
+            }
+    report = {
+        "config": {k: v for k, v in sorted(config.items()) if k != "report"},
+        "crawl_time": f"{wall_sec:.3f}s",
+        "network_info": dict(sorted(net.items())),
+        "page_info": dict(sorted(page.items())),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+    return report
+
+
 def round_summary(metrics: DataFrame) -> DataFrame:
     """Totals across rounds — the report header scalars (A7)."""
     return metrics.agg(

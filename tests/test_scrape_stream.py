@@ -36,6 +36,8 @@ def test_scrape_tables_matches_captions(spark, tiny_web):
 
 def test_structured_streaming_matches_batch(spark, tmp_path):
     """availableNow stream over the events parquet equals the batch window agg."""
+    import shutil
+
     from cs3103_gocrawler_spark.plans.generic_queries import q_event_window_agg
     from cs3103_gocrawler_spark.streaming.events_stream import (
         stream_event_window_counts,
@@ -47,8 +49,13 @@ def test_structured_streaming_matches_batch(spark, tmp_path):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
+    # FileStreamSource watches a directory; the testdata table is a single
+    # parquet file, so stage it into one (the production contract is a dir).
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-0.parquet")
     q = stream_event_window_counts(
-        spark, f"{sf}/events.parquet", schema, str(tmp_path / "ckpt")
+        spark, str(events_dir), schema, str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
     got = (
