@@ -6,74 +6,129 @@ one connection pool per executor slot, retry+backoff per element
 "network" is the generator's pages table, so the fetch becomes a *join*:
 
     dequeued(url, ...) LEFT JOIN pages(image_id → url, status, content_type,
-    body_html) — a repartition join; on Iceberg both sides are bucketed by
-    the same key so it is a storage-partitioned join with no full shuffle
-    (SURVEY.md §4.2.5). Payload ``bytes`` are deliberately NOT selected here —
-    they never enter this shuffle (§4.2 spill discipline); the validation
-    stage re-joins for them separately.
+    body_html [, payload cols]) — a repartition join; on Iceberg both sides
+    are bucketed by the same key so it is a storage-partitioned join with no
+    full shuffle (SURVEY.md §4.2.5). The join output's big columns go
+    straight into ONE fused ``mapInPandas`` pass (``fetch_process``) that
+    runs everything Python-side — retry/backoff enrich, href extraction,
+    payload validation — and drops them inside the worker, so they never
+    enter a shuffle NOR a second JVM↔Python pipe crossing (§4.2 spill
+    discipline; profiling numbers in the ``fetch_process`` docstring).
 
-The post-join enrich stage runs in ``mapInPandas`` exactly where live HTTP
-would: it computes the deterministic synthetic response time (webgen
-page_resp_ms) and simulates the retry/backoff loop for 5xx rows
-(functions/backoff.py) — same batch shape, same UDF signature as real mode.
-DNS (S5) in synthetic mode is the deterministic host→fake-IP mapping used by
-the geo-enrichment dimension join (J6) in plans/report.py.
+The enrich logic runs exactly where live HTTP would: it computes the
+deterministic synthetic response time (webgen page_resp_ms) and simulates
+the retry/backoff loop for 5xx rows (functions/backoff.py) — same batch
+shape, same UDF signature as real mode. DNS (S5) in synthetic mode is the
+deterministic host→fake-IP mapping used by the geo-enrichment dimension
+join (J6) in plans/report.py.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.backoff import total_retry_backoff_ms
 from ..synthetic.webgen import page_resp_ms
 
-FETCH_COLS = ("image_id", "status", "content_type", "body_html")
-
-
 PAYLOAD_COLS = ("bytes", "w", "h", "fmt", "caption", "phash")
 
 
-def synthetic_fetch(
+def fetch_process(
     dequeued: DataFrame,
     pages: DataFrame,
+    *,
+    matcher=None,
+    blacklist: frozenset[str] = frozenset(),
     max_retries: int = 3,
     resp_seed: int = 42,
     backoff_policy: str = "exponential",
-    with_payload: bool = False,
+    validate: bool = False,
+    gen_seed: int = 42,
 ) -> DataFrame:
-    """Fetch-join + enrich. Output adds: found(bool), status, content_type,
-    body_html, resp_ms, attempts, backoff_ms, partition_id (lineage).
+    """The fused per-round fetch pipeline — fetch join + enrich + link
+    extraction (+ inline payload validation) in ONE ``mapInPandas`` pass.
 
-    ``with_payload=True`` carries the image payload columns through so the
-    validation stage runs inline in the same pass (no second join against the
-    pages table; the payload reaches a Python worker exactly once — in a real
-    crawl this is where the HTTP body lands anyway)."""
+    Why fused: each chained Python stage is a separate JVM↔worker Arrow pipe,
+    and the big columns (``body_html``, image ``bytes``) dominate that
+    traffic. The unfused chain (enrich ``mapInPandas`` → extract
+    ``pandas_udf`` → validation ``mapInPandas``) moved the payload across the
+    pipe up to five times; profiled at 1M URLs/local[32] that was ~55 s of
+    almost pure kernel time (pipe I/O) vs ~2 s for the join itself. Fused,
+    the payload crosses exactly once and is dropped *inside* the Python
+    worker, so only narrow columns come back — ~9× faster and it scales with
+    cores again (the pipe bottleneck was also what flattened the N→4N
+    scaling curve).
+
+    JVM side keeps everything Catalyst can do: the join, ``found``, and the
+    matcher ``outcome`` (P1-P6 Column conjunction, responsematcher.go:13-36).
+    Python does only what needs Python: retry/backoff simulation
+    (rhttp.go:45-63), href extraction + canonicalization
+    (linkextractor.go:19-66), and image decode/phash/PSNR/caption validation
+    (input_hint invariants).
+
+    Output = input cols (minus payload; ``fmt`` kept as lineage) plus
+    ``found, outcome, resp_ms, attempts, backoff_ms, links`` and, when
+    ``validate``, the validation columns; ``partition_id`` lineage appended.
+    """
+    from .extract import extract_links_py
+    from .validate import VALIDATION_COL_NAMES, _validate_row
+
     cols = ["status", "content_type", "body_html"] + (
-        list(PAYLOAD_COLS) if with_payload else []
+        list(PAYLOAD_COLS) if validate else []
     )
     pruned = pages.select(F.col("image_id").alias("url"), *cols)
     joined = dequeued.join(pruned, "url", "left").withColumn(
         "found", F.col("status").isNotNull()
     )
-
-    in_schema = joined.schema
-    out_schema = (
-        in_schema.simpleString()[7:-1]  # strip struct<...>
-        + ",resp_ms bigint,attempts int,backoff_ms bigint"
+    ok = F.col("found") & (matcher if matcher is not None else F.lit(True))
+    joined = joined.withColumn(
+        "outcome",
+        F.when(~F.col("found"), F.lit("fetch_error"))
+        .when(~ok, F.lit("matcher"))
+        .otherwise(F.lit("ok")),
     )
 
-    def enrich(batches):
-        # real mode: open one requests.Session here, reused across batches
-        # (iterator-of-batches pattern, SURVEY.md §4.1 connection reuse)
+    big = {"body_html"} | (set(PAYLOAD_COLS) - {"fmt"} if validate else set())
+    keep = [f.name for f in joined.schema.fields if f.name not in big]
+    out_names = keep + ["resp_ms", "attempts", "backoff_ms", "links"] + (
+        list(VALIDATION_COL_NAMES) if validate else []
+    )
+    out_schema = ",".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name not in big
+    ) + ",resp_ms bigint,attempts int,backoff_ms bigint,links array<string>"
+    if validate:
+        out_schema += (
+            ",decode_ok boolean,psnr_db double,phash_ok boolean,"
+            "caption_ok boolean,valid boolean"
+        )
+
+    def process(batches):
+        # real mode: one requests.Session opened here, reused across batches
         for pdf in batches:
-            resp, att, back = [], [], []
-            for url, status, found in zip(pdf["url"], pdf["status"], pdf["found"]):
+            resp, att, back, links = [], [], [], []
+            vals = {k: [] for k in VALIDATION_COL_NAMES} if validate else None
+            pay_iter = (
+                zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+                    pdf["caption"], pdf["phash"])
+                if validate
+                else iter(lambda: None, 0)  # infinite Nones
+            )
+            for (url, status, found, outcome, body), pay in zip(
+                zip(pdf["url"], pdf["status"], pdf["found"],
+                    pdf["outcome"], pdf["body_html"]),
+                pay_iter,
+            ):
                 if not found:
                     resp.append(0)
                     att.append(int(max_retries) + 1)  # transport error: all retries burned
                     back.append(0)
+                    links.append(None)
+                    if validate:
+                        for k in VALIDATION_COL_NAMES:
+                            vals[k].append(None)
                     continue
                 a, b = total_retry_backoff_ms(
                     int(status), max_retries, key=url, policy=backoff_policy
@@ -81,8 +136,28 @@ def synthetic_fetch(
                 resp.append(page_resp_ms(resp_seed, url))
                 att.append(a)
                 back.append(b)
-            yield pdf.assign(resp_ms=resp, attempts=att, backoff_ms=back)
+                links.append(
+                    extract_links_py(url, body, blacklist)
+                    if outcome == "ok"
+                    else None
+                )
+                if validate:
+                    payload, w, h, fmt, caption, phash = pay
+                    if payload is None or fmt is None:
+                        for k in VALIDATION_COL_NAMES:
+                            vals[k].append(None)
+                    else:
+                        row = _validate_row(
+                            url, bytes(payload), w, h, fmt, caption, phash, gen_seed
+                        )
+                        for k, v in zip(VALIDATION_COL_NAMES, row):
+                            vals[k].append(v)
+            out = pdf[keep].assign(
+                resp_ms=resp, attempts=att, backoff_ms=back, links=links,
+                **(vals or {}),
+            )
+            yield out[out_names]
 
-    return joined.mapInPandas(enrich, schema=out_schema).withColumn(
+    return joined.mapInPandas(process, schema=out_schema).withColumn(
         "partition_id", F.spark_partition_id()
     )

@@ -87,6 +87,90 @@ GROUP BY p_brand
 """
 
 
+def q_fetch_join(spark, sf_dir):
+    """J4 — the fetch join: frontier URL → page payload as a *left* join
+    against the keyed pages table (crawler.go:128-148 re-expressed as a
+    storage join; misses ≙ HTTP 404)."""
+    frontier = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("url_key"))
+        .distinct()
+    )
+    pages = _t(spark, sf_dir, "customer")
+    return (
+        frontier.join(pages, frontier.url_key == pages.c_custkey, "left")
+        .select(
+            "url_key",
+            F.when(F.col("c_name").isNull(), F.lit(404))
+            .otherwise(F.lit(200))
+            .cast("long")
+            .alias("status"),
+            F.coalesce("c_mktsegment", F.lit("")).alias("payload"),
+        )
+    )
+
+
+SQL_FETCH_JOIN = """
+SELECT url_key,
+       CAST(CASE WHEN c_name IS NULL THEN 404 ELSE 200 END AS BIGINT) AS status,
+       coalesce(c_mktsegment, '') AS payload
+FROM (SELECT DISTINCT o_custkey AS url_key FROM orders) f
+LEFT JOIN customer ON url_key = c_custkey
+"""
+
+
+def q_blacklist_theta_join(spark, sf_dir):
+    """P8/J3 — explorer's substring blacklist: bidirectional-contains theta
+    anti-join (example/explorer/internal/explorer/linkextractor.go:34-42),
+    broadcast-nested-loop on the tiny blacklist side."""
+    bl = spark.createDataFrame([("src1",), ("c3",)], "bl string")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(
+            F.broadcast(bl),
+            F.expr("contains(source, bl) OR contains(bl, source)"),
+            "left_anti",
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_BLACKLIST_THETA_JOIN = """
+SELECT source, count(*) AS n_docs FROM documents
+WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('src1'), ('c3')) AS bl(b)
+                  WHERE contains(source, b) OR contains(b, source))
+GROUP BY source
+"""
+
+
+def q_same_host_filter(spark, sf_dir):
+    """P9 — sitemapper's same-host link filter
+    (example/sitemapper/internal/sitemapper/linkextractor.go:26-43): a
+    projection-level equality between link host and page host — no join,
+    the parent host rides the row."""
+    ev = _t(spark, sf_dir, "events")
+    link_host = (
+        F.when(F.col("value") >= 0.5, F.lit("click")).otherwise(F.lit("view"))
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.col("event_type").alias("page_host"),
+            link_host.alias("link_host"),
+        )
+        .filter(F.col("link_host") == F.col("page_host"))
+    )
+
+
+SQL_SAME_HOST_FILTER = """
+SELECT event_id, event_type AS page_host,
+       CASE WHEN value >= 0.5 THEN 'click' ELSE 'view' END AS link_host
+FROM events
+WHERE (CASE WHEN value >= 0.5 THEN 'click' ELSE 'view' END) = event_type
+"""
+
+
 def q_union_dedup(spark, sf_dir):
     """SO2/A1 — frontier-append union + dedup."""
     orders = _t(spark, sf_dir, "orders")
@@ -550,6 +634,31 @@ def q_similarity_lsh_bucketed(spark, sf_dir):
     )
 
 
+def q_scrape_tables(spark, sf_dir):
+    """X4 — tianalyser's HTML-table scrape
+    (example/tianalyser/internal/tianalyser/tianalyser.go:80-118) as a
+    mapInPandas batch parse over constructed per-doc HTML payloads."""
+    from ..operators.scrape import scrape_tables
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.concat(
+                F.lit("<html><body><table><tr><td>"),
+                F.col("source"),
+                F.lit("</td><td>"),
+                F.col("lang"),
+                F.lit("</td></tr><tr><td>chars</td><td>"),
+                F.col("n_chars").cast("string"),
+                F.lit("</td></tr></table></body></html>"),
+            ).alias("html"),
+        )
+    )
+    return scrape_tables(docs, url_col="url", body_col="html")
+
+
 def q_multimodal_extract(spark, sf_dir):
     """Multimodal plumbing over sf_dir: documents' text bytes as the opaque
     binary payload (modality 'stub'), batch feature extraction."""
@@ -566,6 +675,9 @@ def q_multimodal_extract(spark, sf_dir):
 QUERIES = {
     "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_BROADCAST_DIM_JOIN),
+    "fetch_join": (q_fetch_join, SQL_FETCH_JOIN),
+    "blacklist_theta_join": (q_blacklist_theta_join, SQL_BLACKLIST_THETA_JOIN),
+    "same_host_filter": (q_same_host_filter, SQL_SAME_HOST_FILTER),
     "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
     "host_aggregate": (q_host_aggregate, SQL_HOST_AGGREGATE),
     "first_writer_wins": (q_first_writer_wins, SQL_FIRST_WRITER_WINS),
@@ -586,6 +698,7 @@ QUERIES = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "scrape_tables": (q_scrape_tables, None),
     "lang_id": (q_lang_id, None),
     "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, None),
     "multimodal_extract": (q_multimodal_extract, None),

@@ -5,11 +5,12 @@ One round replaces one wave of the reference's goroutine tree
 
     frontier_r ──dequeue (politeness two-phase top-B, W2)──┐
         │ deferred (stays pending)                          │
-        └──fetch join vs pages + mapInPandas enrich (U2/J4)─┤
-            outcome: ok / matcher / fetch_error (P1-P6)     │
-            extract links (U3)                              │
-            inline payload validation (U4/X5, when enabled) │
-            project payload away → write fetched_r          │
+        └──fetch join vs pages (J4, JVM) → outcome (P1-P6) ─┤
+            → ONE fused mapInPandas (U2/U3/U4/X5):          │
+              retry/backoff enrich + link extraction +      │
+              inline payload validation; body/payload       │
+              dropped inside the Python worker              │
+            → write fetched_r                               │
                        ↑ the ONE materialization point      │
     children = explode(links) → canonicalize (U1)           │
              → robots gate → bloom + anti-join vs seen (J1) │
@@ -43,12 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators.canonicalize import with_canonical
-from ..operators.extract import make_extract_udf
-from ..operators.fetch import PAYLOAD_COLS, synthetic_fetch
+from ..operators.fetch import fetch_process
 from ..operators.matchers import conjunction
 from ..operators.politeness import dequeue
 from ..operators.seen import Bloom, filter_unseen
-from ..operators.validate import VALIDATION_COL_NAMES, with_validation_columns
+from ..operators.validate import VALIDATION_COL_NAMES
 from ..storage import RoundCatalog
 
 VISITED_COLS = [
@@ -103,7 +103,6 @@ class CrawlEngine:
         self.robots = robots
         self.bloom = Bloom(config.bloom_capacity, config.bloom_fpr)
         self._blacklist = frozenset(config.blacklist_hosts)
-        self._extract = make_extract_udf(self._blacklist)
 
     # -------------------------------------------------------------- views
     def fetched_df(self, up_to_round: int | None = None) -> DataFrame | None:
@@ -213,40 +212,25 @@ class CrawlEngine:
 
         dequeued, deferred = dequeue(pending, cfg.budget_per_host, cfg.salt_buckets)
 
-        fetched = synthetic_fetch(
-            dequeued, self.pages, max_retries=cfg.max_retries,
-            resp_seed=cfg.gen_seed, with_payload=cfg.validate,
-        )
-        ok = F.col("found") & conjunction(list(cfg.matchers))
+        # fused fetch+enrich+extract(+validate): body/payload cross the
+        # JVM↔Python pipe exactly once and are dropped inside the worker
+        # (fetch.fetch_process docstring has the profiling numbers)
         processed = (
-            fetched.withColumn(
-                "outcome",
-                F.when(~F.col("found"), F.lit("fetch_error"))
-                .when(~ok, F.lit("matcher"))
-                .otherwise(F.lit("ok")),
+            fetch_process(
+                dequeued, self.pages,
+                matcher=conjunction(list(cfg.matchers)),
+                blacklist=self._blacklist,
+                max_retries=cfg.max_retries,
+                resp_seed=cfg.gen_seed,
+                validate=cfg.validate,
+                gen_seed=cfg.gen_seed,
             )
-            .withColumn(
-                "links",
-                F.when(
-                    F.col("outcome") == "ok",
-                    self._extract(F.col("url"), F.col("body_html")),
-                ),
-            )
-            .drop("body_html")  # keep payloads out of every downstream shuffle
             .withColumn("round_id", F.lit(r))
             .withColumn(
                 "host_bucket",
                 F.pmod(F.xxhash64("host"), F.lit(cfg.n_host_buckets)).cast("int"),
             )
         )
-        if cfg.validate:
-            # inline payload validation (north_star: each round decodes +
-            # validates inside the fetch pass) — adds decode_ok/psnr_db/
-            # phash_ok/caption_ok/valid, then drops the payload columns so
-            # they never reach disk or a shuffle
-            processed = with_validation_columns(processed, cfg.gen_seed).drop(
-                *[c for c in PAYLOAD_COLS if c != "fmt"]  # fmt kept as lineage
-            )
         # the ONE expensive materialization of the round
         self.cat.write(processed, "fetched", r)
         _mark("fetch_extract_write")

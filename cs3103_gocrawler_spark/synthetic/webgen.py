@@ -73,6 +73,16 @@ def _rng_for(seed: int, key: str) -> np.random.Generator:
     return np.random.Generator(np.random.PCG64(int.from_bytes(digest[:8], "big")))
 
 
+def _bytes_for(seed: int, key: str, n: int) -> bytes:
+    """Deterministic byte stream for (seed, key) — direct SHAKE-256 digest.
+
+    Hot-path alternative to ``_rng_for``: constructing a numpy Generator
+    (SeedSequence + PCG64) costs ~40 µs per call, which dominated the
+    per-row payload validation (X5 recomputes pixels+caption for every
+    fetched URL). A SHAKE digest is ~2 µs and just as deterministic."""
+    return hashlib.shake_256(f"{seed}|{key}".encode()).digest(n)
+
+
 def pages_per_host(cfg: WebConfig) -> np.ndarray:
     """Power-law page counts per host, summing exactly to cfg.n_pages."""
     w = (np.arange(cfg.n_hosts) + 1.0) ** (-cfg.alpha)
@@ -99,15 +109,20 @@ def page_url(host_idx: int, page_idx: int) -> str:
 
 def page_pixels(seed: int, url: str, w: int, h: int) -> np.ndarray:
     """Ground-truth pixels, regenerable from (seed, url) alone — used by the
-    validation UDF (X5) to check decoded payloads without a side table."""
-    rng = _rng_for(seed, f"px|{url}")
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    validation UDF (X5) to check decoded payloads without a side table.
+    Direct SHAKE byte stream (see ``_bytes_for``) — per-row hot path."""
+    buf = _bytes_for(seed, f"px|{url}", h * w * 3)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
 
 
 def page_caption(seed: int, url: str) -> str:
-    rng = _rng_for(seed, f"cap|{url}")
-    k = int(rng.integers(4, 9))
-    words = [_WORDS[int(i)] for i in rng.integers(0, len(_WORDS), size=k)]
+    d = _bytes_for(seed, f"cap|{url}", 17)
+    k = 4 + d[0] % 5
+    nw = len(_WORDS)
+    words = [
+        _WORDS[int.from_bytes(d[1 + 2 * i : 3 + 2 * i], "big") % nw]
+        for i in range(k)
+    ]
     return " ".join(words) + f" [{url}]"
 
 
@@ -121,8 +136,7 @@ def page_resp_ms(seed: int, url: str) -> int:
 
 
 def page_fmt(seed: int, url: str) -> str:
-    rng = _rng_for(seed, f"fmt|{url}")
-    return _FMTS[int(rng.integers(0, len(_FMTS)))]
+    return _FMTS[_bytes_for(seed, f"fmt|{url}", 1)[0] % len(_FMTS)]
 
 
 def page_status_ct(cfg: WebConfig, url: str) -> tuple[int, str]:
