@@ -30,10 +30,14 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bigger Arrow batches = far fewer JVM↔python socket roundtrips; this
-        # sandbox (Firecracker) makes syscalls expensive, and a real cluster
-        # benefits the same way (less per-batch overhead in pandas UDFs)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Arrow batch sizing is a memory-vs-roundtrip tradeoff, and with wide
+        # payload rows (image bytes + html, ~2.5 KB/row) memory wins: 64k-row
+        # batches are ~160 MB in flight per task, which at 32 concurrent
+        # workers caused multi-GB python-worker RSS spikes, worker kills, and
+        # task retries (measured: 120 s vs 18 s for the same 1M-URL round).
+        # 8k rows ≈ 20 MB payload batches, and narrow-column UDF stages lose
+        # nothing measurable (Arrow overhead amortizes by ~1k rows).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -236,33 +236,43 @@ class CrawlEngine:
         _mark("fetch_extract_write")
         processed = self.cat.read("fetched", r)
 
-        # one driver collect feeds both the bloom update and the metric counts
-        stats = processed.select("url_sha1", "outcome").toPandas()
+        # one driver collect feeds the bloom update, the metric counts, AND the
+        # can-spawn depth check (url_sha1/depth are int64 — the collect stays
+        # a few MB per million URLs)
+        stats = processed.select("url_sha1", "depth", "outcome").toPandas()
         self.bloom.add(stats["url_sha1"].to_numpy())
         outcome_counts = stats["outcome"].value_counts().to_dict()
         _mark("stats_collect")
 
-        # children: J5 edge construction — parent rides the row, no join needed
-        depth_cap = cfg.max_depth - 1  # crawler.go:59
-        visited_r = processed.filter(F.col("outcome") == "ok")
-        children = (
-            visited_r.filter(F.col("depth") + 1 <= depth_cap)
-            .select(
-                F.col("url").alias("parent"),
-                F.explode("links").alias("url"),
-                (F.col("depth") + 1).alias("depth"),
-                "priority",
-            )
-        )
-        children = with_canonical(children)  # idempotent; adds host/path/sha1
-        children = self._robots_gate(children)
-
-        seen_all = self.seen_urls(up_to_round=r)
-        unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
-        bloom_fp_n = bloom_fps.count() if cfg.instrument_bloom else -1
-
         frontier_cols = ["url", "host", "path", "url_sha1", "depth", "parent", "priority"]
-        merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
+        depth_cap = cfg.max_depth - 1  # crawler.go:59
+        # skip the whole children pipeline (explode → canon UDF → robots →
+        # bloom → anti-join) when no dequeued row can spawn — the depth-capped
+        # final round otherwise pays several seconds of dead plan
+        can_spawn = len(stats) > 0 and int(stats["depth"].min()) + 1 <= depth_cap
+        bloom_fp_n = -1
+        if can_spawn:
+            # children: J5 edge construction — parent rides the row, no join needed
+            visited_r = processed.filter(F.col("outcome") == "ok")
+            children = (
+                visited_r.filter(F.col("depth") + 1 <= depth_cap)
+                .select(
+                    F.col("url").alias("parent"),
+                    F.explode("links").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    "priority",
+                )
+            )
+            children = with_canonical(children)  # idempotent; adds host/path/sha1
+            children = self._robots_gate(children)
+
+            seen_all = self.seen_urls(up_to_round=r)
+            unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
+            if cfg.instrument_bloom:
+                bloom_fp_n = bloom_fps.count()
+            merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
+        else:
+            merged = deferred.select(*frontier_cols)
         self.cat.write(self._min_merge(merged), "frontier", r + 1)
         _mark("frontier_write")
         next_n = self.cat.count("frontier", r + 1)
