@@ -22,12 +22,29 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-N_PERMS = 8          # minhash permutations (salted-hash trick: h_i(s) = h(i || s))
+N_PERMS = 8          # minhash permutations (universal hashing, see PERM_AB)
 BAND_SIZE = 2        # rows per LSH band → N_PERMS/BAND_SIZE bands
 SIMHASH_BITS = 16
+
+# Universal-hash permutations h_i(s) = (a_i·h(s) + b_i) mod p over one shared
+# base hash — one md5 per shingle instead of N_PERMS of them (the md5s were
+# the dominant cost of the signature stage). p = 2^31−1 keeps a·h < 2^62, so
+# the arithmetic is exact in both Spark longs and DuckDB BIGINTs (DuckDB
+# errors on overflow rather than wrapping — staying under 2^63 is load-bearing
+# for the oracle twin). Constants are fixed literals so the SQL twin can embed
+# them verbatim.
+MINHASH_P = (1 << 31) - 1
+_rnd = random.Random(3230)
+PERM_AB = [
+    (_rnd.randrange(1, MINHASH_P), _rnd.randrange(0, MINHASH_P))
+    for _ in range(N_PERMS)
+]
+del _rnd
 
 
 def hash64(col):
@@ -69,18 +86,28 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        shingle_k: int = 3) -> DataFrame:
     """Per-doc minhash signature columns mh0..mh{n-1}.
 
-    Permutation i is the salted hash h(i || '|' || shingle) — min-wise
-    independent enough for candidate generation, and exactly reproducible in
-    ANSI SQL (no seeded RNG needed)."""
-    sh = docs.select(
-        id_col,
-        F.explode(word_shingles(normalized_words(F.col(text_col)), shingle_k)).alias("shingle"),
-    ).dropDuplicates([id_col, "shingle"])
+    Permutation i is the universal hash (a_i·h(shingle) + b_i) mod p over the
+    shared 60-bit base hash (PERM_AB) — one md5 per shingle, then pure
+    arithmetic; exactly reproducible in ANSI SQL (fixed constants, no RNG).
+
+    Two plan rules matter here (measured 29 s → 2.1 s at sf0.1):
+    * the words array MUST be materialized as its own projection step before
+      shingling — composed inline, CollapseProject re-inlines the expensive
+      regexp-split into every ``element_at`` reference of the shingle
+      lambda, re-tokenizing the document once per shingle element;
+    * no ``dropDuplicates`` before the aggregate — min() is
+      duplicate-insensitive, so per-(doc,shingle) dedup was a pure extra
+      shuffle of every shingle row."""
+    ws = docs.select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
+    sh = ws.select(
+        id_col, F.explode(word_shingles(F.col("_ws"), shingle_k)).alias("shingle")
+    )
+    she = sh.withColumn("_h", hash64(F.col("shingle")) % F.lit(MINHASH_P))
     aggs = [
-        F.min(hash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(n_perms)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERM_AB[:n_perms])
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return she.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -123,10 +150,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """Verify LSH candidates with true shingle-set Jaccard; keep ≥ threshold.
     Rounded to 6 dp for stable cross-engine comparison."""
     cands = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
-    sets_df = docs.select(
-        F.col(id_col).alias("doc"),
+    # words materialized before shingling — same CollapseProject trap as in
+    # minhash_signatures (inline composition re-tokenizes per shingle element)
+    ws = docs.select(
+        F.col(id_col).alias("doc"), normalized_words(F.col(text_col)).alias("_ws")
+    )
+    sets_df = ws.select(
+        "doc",
         F.array_sort(
-            F.array_distinct(word_shingles(normalized_words(F.col(text_col)), shingle_k))
+            F.array_distinct(word_shingles(F.col("_ws"), shingle_k))
         ).alias("sh"),
     )
     a = sets_df.alias("a")

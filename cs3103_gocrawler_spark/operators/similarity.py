@@ -18,10 +18,10 @@ Cosine values are rounded to 6 dp so the DuckDB oracle twin compares stably
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
-
-from .dedup import hash64
 
 
 def _dot(a, b):
@@ -83,29 +83,37 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     )
 
 
-def _plane_sign(plane: int, dim_index):
-    """Deterministic ±1 for (plane, dim) via the shared md5-prefix hash —
-    reproducible without RNG state on any engine."""
-    h = hash64(F.concat(F.lit(f"plane{plane}|"), dim_index.cast("string")))
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+_MAX_DIM = 64  # sign literals cover embeddings up to this many dimensions
+
+
+def _plane_sign_py(plane: int, d: int, table: int = 0) -> float:
+    """Deterministic ±1 for (plane, dim[, table]): parity of the shared
+    60-bit md5-prefix hash — same formula as operators.dedup.hash64, computed
+    driver-side so the sign matrix folds to literals."""
+    key = f"plane{plane}|{d}" if table == 0 else f"plane{table}.{plane}|{d}"
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
 
 
 def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,
-                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-random-projection bucket id per vector: bit b = sign(v · p_b)."""
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           table: int = 0) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit b = sign(v · p_b).
+
+    The hyperplane signs are constants, so they are baked in as array
+    LITERALS (sliced to the vector length) rather than computed by a
+    ``transform(sequence(...))`` lambda. Besides folding 64 hash calls out of
+    the per-row path, this avoids triple-nested higher-order-function lambdas
+    (transform inside zip_with inside aggregate, repeated per plane in one
+    projection), whose lambda-variable binding proved session-nondeterministic
+    — identical input produced different buckets across runs."""
     sig = None
     for b in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda i, b=b: _plane_sign(b, i),
-                ),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        signs = F.array(
+            *[F.lit(_plane_sign_py(b, d, table)) for d in range(_MAX_DIM)]
+        )
+        proj = _dot(
+            F.col(vec_col), F.slice(signs, 1, F.size(F.col(vec_col)))
         )
         bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
@@ -113,18 +121,31 @@ def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,
 
 
 def bucketed_cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
-                         n_planes: int = 6, id_col: str = "vec_id",
+                         n_planes: int = 6, n_tables: int = 3,
+                         id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket —
-    the join shuffles on bucket instead of crossing everything."""
-    bucketed = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col)
-    q = bucketed.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec"), "bucket"
+    the join shuffles on bucket instead of crossing everything. Standard
+    multi-table LSH: ``n_tables`` independent hyperplane sets, candidate
+    pairs unioned across tables (recall ≈ 1-(1-p^b)^T), cosine scored once
+    per distinct pair."""
+    cands = None
+    for t in range(n_tables):
+        bucketed = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col, table=t)
+        q = bucketed.filter(F.col(id_col) % query_mod == 0).select(
+            F.col(id_col).alias("query_id"), "bucket"
+        )
+        n = bucketed.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        p = q.join(n, ["bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select("query_id", "neighbor_id")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    vecs_q = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
     )
-    n = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"), "bucket"
-    )
-    pairs = q.join(n, ["bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    vecs_n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    pairs = cands.join(F.broadcast(vecs_q), "query_id").join(vecs_n, "neighbor_id")
     scored = with_cosine(pairs).drop("a_vec", "b_vec")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

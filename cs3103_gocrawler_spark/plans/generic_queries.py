@@ -444,10 +444,11 @@ sh AS (
                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
                   ELSE [array_to_string(ws, ' ')] END) AS shingle
     FROM words)),
+hsh AS (SELECT doc_id, {base_hash} % {p} AS h FROM sh),
 sig AS (
   SELECT doc_id,
     {mh_cols}
-  FROM sh GROUP BY doc_id),
+  FROM hsh GROUP BY doc_id),
 banded AS (
   {bands}),
 cand AS (
@@ -456,9 +457,11 @@ cand AS (
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc < r.doc)
 """.format(
     words=_WORDS_SQL,
+    base_hash=_HASH_SQL.format(x="shingle"),
+    p=dedup.MINHASH_P,
     mh_cols=",\n    ".join(
-        "min(" + _HASH_SQL.format(x=f"'{i}|' || shingle") + f") AS mh{i}"
-        for i in range(dedup.N_PERMS)
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.PERM_AB)
     ),
     bands="\n  UNION ALL ".join(
         f"SELECT doc_id AS doc, {b} AS band_id, "
