@@ -171,6 +171,41 @@ WHERE (CASE WHEN value >= 0.5 THEN 'click' ELSE 'view' END) = event_type
 """
 
 
+def q_robots_gate(spark, sf_dir):
+    """Robots disallow-prefix gate (north_rule; streaming/rounds.py
+    ``_robots_gate``): drop rows whose path starts with any disallowed
+    prefix for their host — EXISTS over a per-host prefix array."""
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    rules = spark.createDataFrame(
+        [("src1", ["/src1/1", "/src1/2"]), ("src3", ["/src3/"])],
+        "host string, disallow_prefixes array<string>",
+    )
+    joined = docs.withColumn("path", path).withColumn("host", F.col("source")).join(
+        F.broadcast(rules), "host", "left"
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.col("path").startswith(p),
+    )
+    return (
+        joined.filter(~blocked)
+        .groupBy("host")
+        .agg(F.count("*").alias("n_allowed"))
+    )
+
+
+SQL_ROBOTS_GATE = """
+WITH rules(host, p) AS (VALUES ('src1', '/src1/1'), ('src1', '/src1/2'), ('src3', '/src3/'))
+SELECT source AS host, count(*) AS n_allowed FROM documents
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules
+  WHERE rules.host = source
+    AND starts_with('/' || source || '/' || CAST(doc_id AS VARCHAR), p))
+GROUP BY source
+"""
+
+
 def q_union_dedup(spark, sf_dir):
     """SO2/A1 — frontier-append union + dedup."""
     orders = _t(spark, sf_dir, "orders")
@@ -681,6 +716,7 @@ QUERIES = {
     "fetch_join": (q_fetch_join, SQL_FETCH_JOIN),
     "blacklist_theta_join": (q_blacklist_theta_join, SQL_BLACKLIST_THETA_JOIN),
     "same_host_filter": (q_same_host_filter, SQL_SAME_HOST_FILTER),
+    "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
     "host_aggregate": (q_host_aggregate, SQL_HOST_AGGREGATE),
     "first_writer_wins": (q_first_writer_wins, SQL_FIRST_WRITER_WINS),
