@@ -30,6 +30,11 @@ def canonicalize_url(url: str, base: str | None = None) -> str | None:
     unparsable URLs (reference drops unparsable links, linkextractor.go:39-42).
     """
     url = url.strip()
+    # already-canonical absolute URL: skip urljoin entirely (it costs ~5 µs
+    # per href and is the identity here; the "/." guard keeps dot-segment
+    # hrefs on the resolving path so they still get RFC 3986 normalization)
+    if _CANONICAL_RE.match(url) and "/." not in url:
+        return url
     if base:
         url = urljoin(base, url)
     if _CANONICAL_RE.match(url):
@@ -66,6 +71,20 @@ def url_path(url: str) -> str:
         return urlsplit(url).path or "/"
     except ValueError:
         return ""
+
+
+def split_canonical(cu: str) -> tuple[str, str]:
+    """(host, path) of an already-canonical URL via string ops — ~5× faster
+    than two urlsplit calls, exact on canonicalize_url output (which always
+    has scheme://host[:port]/path[?query], lowercase host, no fragment;
+    IPv6 literals are out of scope for the synthetic web)."""
+    i = cu.index("//") + 2
+    j = cu.find("/", i)
+    netloc = cu[i:j]
+    host = netloc.rsplit(":", 1)[0] if ":" in netloc else netloc
+    path = cu[j:]
+    q = path.find("?")
+    return host, (path[:q] if q != -1 else path)
 
 
 def sha1_64(s: str) -> int:

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql import types as T  # noqa: N812
 
-from ..functions.urlfuncs import canonicalize_url, sha1_64, url_host, url_path
+from ..functions.urlfuncs import canonicalize_url, sha1_64, split_canonical
 
 CANON_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
@@ -33,9 +33,10 @@ def canon_struct(urls: pd.Series) -> pd.DataFrame:
             out["path"].append(None)
             out["url_sha1"].append(None)
         else:
+            host, path = split_canonical(cu)
             out["url"].append(cu)
-            out["host"].append(url_host(cu))
-            out["path"].append(url_path(cu))
+            out["host"].append(host)
+            out["path"].append(path)
             out["url_sha1"].append(sha1_64(cu))
     return pd.DataFrame(out)
 

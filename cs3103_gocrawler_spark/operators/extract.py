@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql import types as T  # noqa: N812
 
-from ..functions.urlfuncs import canonicalize_url, url_host
+from ..functions.urlfuncs import canonicalize_url, split_canonical
 
 _HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 
@@ -30,7 +30,7 @@ def extract_links_py(base_url: str, body_html: str, blacklist: frozenset[str]) -
     out = set()
     for href in _HREF_RE.findall(body_html or ""):
         cu = canonicalize_url(href, base=base_url)
-        if cu is None or url_host(cu) in blacklist:
+        if cu is None or split_canonical(cu)[0] in blacklist:
             continue
         out.add(cu)
     return sorted(out)
