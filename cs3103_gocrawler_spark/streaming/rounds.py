@@ -18,16 +18,18 @@ One round replaces one wave of the reference's goroutine tree
     manifest commit = checkpoint
 
 Job discipline (this matters at scale as much as shuffle discipline): a round
-runs exactly 5 Spark jobs — pending count, fetched write, one driver collect
-of (url_sha1, outcome) that feeds both the bloom update and the metrics
-counters, frontier write, frontier count. visited/rejected/seen/validation
-are *views* over the fetched table (column-pruned, predicate-filtered parquet
-reads), not extra materializations; payload validation runs inside the fetch
-pass (the payload reaches a Python worker exactly once and never re-joins);
-per-round metrics are buffered into the manifest and written as a table once
-at the end. The earlier 12-job round spent more wall-clock on fixed job
-overhead than on data at local-bench scale — the same tax a 1000-executor
-cluster pays in scheduler round-trips.
+runs exactly 3 Spark jobs — fetched write, one driver collect of
+(url_sha1, depth, outcome) that feeds the bloom update, the metrics counters,
+and the can-spawn check, and the frontier write. Row counts come from parquet
+footer metadata on the driver (Iceberg: snapshot summaries), not count()
+jobs. visited/rejected/seen/validation are *views* over the fetched table
+(column-pruned, predicate-filtered parquet reads), not extra
+materializations; payload validation runs inside the fetch pass (the payload
+reaches a Python worker exactly once and never re-joins); per-round metrics
+are buffered into the manifest and written as a table once at the end. The
+earlier 12-job round spent more wall-clock on fixed job overhead than on
+data at local-bench scale — the same tax a 1000-executor cluster pays in
+scheduler round-trips.
 
 Determinism: every output table has an order-insensitive definition; the
 recorded crawl ordering (W3) is ``row_number() OVER (PARTITION BY host ORDER
@@ -205,7 +207,7 @@ class CrawlEngine:
 
         cfg = self.cfg
         pending = self.cat.read("frontier", r)
-        pending_n = pending.count()
+        pending_n = self.cat.count("frontier", r)  # footer metadata, no job
         _mark("read_pending")
         if pending_n == 0:
             return {"round_id": r, "pending": 0, "terminated": True}
