@@ -57,3 +57,49 @@ def stream_event_window_counts(
 
 def streamed_counts_df(spark: SparkSession) -> DataFrame:
     return spark.table("event_window_counts")
+
+
+def stream_host_running_totals(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    query_name: str = "host_running_totals",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState`` —
+    the continuous analog of the per-host NetworkInfo accumulation
+    (crawler.go:186-219): per-key state carries (n_events, value_milli)
+    across micro-batches; each batch emits the key's updated running totals.
+    This is the plug-point shape for continuous per-host politeness budgets
+    (state = token balance) at crawl scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, vm = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vm += int(np.floor(pdf["value"].to_numpy() * 1000).sum())
+        state.update((n, vm))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "value_milli": [vm]}
+        )
+
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    out = src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n_events long, value_milli long",
+        stateStructType="n long, vm long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

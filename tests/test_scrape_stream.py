@@ -69,3 +69,49 @@ def test_structured_streaming_matches_batch(spark, tmp_path):
     assert got[["window_start", "event_type", "n_events", "value_milli"]].equals(
         want[["window_start", "event_type", "n_events", "value_milli"]]
     )
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals equal the batch aggregate."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from cs3103_gocrawler_spark.streaming.events_stream import (
+        stream_host_running_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events_dir = tmp_path / "events_state_in"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-0.parquet")
+    q = stream_host_running_totals(
+        spark, str(events_dir), schema, str(tmp_path / "ckpt_state")
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("host_running_totals")
+        .toPandas()
+        .sort_values("n_events", ascending=False)
+        .drop_duplicates("event_type")  # last update per key wins
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got[["event_type", "n_events", "value_milli"]].equals(
+        want[["event_type", "n_events", "value_milli"]]
+    )
