@@ -41,10 +41,17 @@ def canon_struct(urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# Deterministic in fact, but declared nondeterministic so Catalyst pins it to
+# ONE evaluation: the filter on _c.url plus the projection of _c's fields
+# otherwise split into two stacked ArrowEvalPython nodes — the UDF (and its
+# Arrow pipe traffic) ran twice per row.
+_canon_struct_once = canon_struct.asNondeterministic()
+
+
 def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Replace ``url_col`` with its canonical form + host/path/url_sha1
     columns; drops rows whose URL is unparsable or non-http(s)."""
-    c = df.withColumn("_c", canon_struct(F.col(url_col)))
+    c = df.withColumn("_c", _canon_struct_once(F.col(url_col)))
     return (
         c.filter(F.col("_c.url").isNotNull())
         .withColumn(url_col, F.col("_c.url"))

