@@ -267,6 +267,12 @@ class CrawlEngine:
             )
             children = with_canonical(children)  # idempotent; adds host/path/sha1
             children = self._robots_gate(children)
+            # persist: the bloom split consumes children in two branches
+            # (definitely-new bypasses the anti-join shuffle, maybe-seen goes
+            # through it) and the FP instrumentation in a third — without the
+            # cache each traversal recomputes explode → canon UDF → robots
+            # from the fetched parquet
+            children = children.persist()
 
             seen_all = self.seen_urls(up_to_round=r)
             unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
@@ -274,8 +280,11 @@ class CrawlEngine:
                 bloom_fp_n = bloom_fps.count()
             merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
         else:
+            children = None
             merged = deferred.select(*frontier_cols)
         self.cat.write(self._min_merge(merged), "frontier", r + 1)
+        if children is not None:
+            children.unpersist()
         _mark("frontier_write")
         next_n = self.cat.count("frontier", r + 1)
         _mark("frontier_count")
