@@ -115,3 +115,41 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
     assert got[["event_type", "n_events", "value_milli"]].equals(
         want[["event_type", "n_events", "value_milli"]]
     )
+
+
+def test_country_representation_roundtrip_ti_stats(spark):
+    """X4 conformance vs the reference's recorded analysis: render every
+    recorded ti_stats country table as Liquipedia-shaped HTML, scrape it back
+    through the Spark operator, and require exact equality with the recorded
+    rows for all pages (/root/reference/example/tianalyser/ti_stats.json)."""
+    import json
+
+    import pandas as pd
+
+    from cs3103_gocrawler_spark.operators.scrape import country_representation
+
+    with open("/root/reference/example/tianalyser/ti_stats.json") as f:
+        ti = json.load(f)["ti_stats"]
+
+    rows = []
+    for url, entries in ti.items():
+        body = ["<html><body><h2><span id=\"Country_Representation\">CR</span></h2>",
+                "<table><tr><th>#</th><th>Country</th><th>Rep</th><th>Players</th></tr>"]
+        for i, e in enumerate(entries):
+            body.append(
+                f"<tr><td>{i + 1}</td><td>{e['country']}&nbsp;</td>"
+                f"<td>{e['representation']}</td>"
+                f"<td>{', '.join(e['players'])}</td></tr>"
+            )
+        body.append("</table></body></html>")
+        rows.append({"url": url, "body_html": "".join(body)})
+
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+    got = country_representation(pages).toPandas()
+    for url, entries in ti.items():
+        g = got[got.url == url].sort_values("row_idx")
+        assert len(g) == len(entries), url
+        for (_, row), want in zip(g.iterrows(), entries):
+            assert row["country"] == want["country"], (url, row["country"])
+            assert row["representation"] == want["representation"]
+            assert list(row["players"]) == want["players"], (url, want["country"])
