@@ -29,7 +29,10 @@ from pyspark.sql import functions as F  # noqa: N812
 
 N_PERMS = 8          # minhash permutations (universal hashing, see PERM_AB)
 BAND_SIZE = 2        # rows per LSH band → N_PERMS/BAND_SIZE bands
-SIMHASH_BITS = 16
+# full width of the shared 60-bit md5-prefix hash (production simhash is
+# 64-bit; ours is capped by the base hash's width — bits ≥60 would be
+# constant-zero and carry no signal)
+SIMHASH_BITS = 60
 
 # Universal-hash permutations h_i(s) = (a_i·h(s) + b_i) mod p over one shared
 # base hash — one md5 per shingle instead of N_PERMS of them (the md5s were

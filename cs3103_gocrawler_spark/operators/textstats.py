@@ -65,7 +65,14 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 8) -> DataFrame:
     """Winnowing-style fingerprint: the two smallest char-k-gram hashes per
-    document (min + runner-up) — a compact near-dup / containment sketch."""
+    document (min + runner-up) — a compact near-dup / containment sketch.
+
+    Scale shape: rank-≤2 via a window (sorts spill to disk) instead of
+    ``sort_array(collect_list(...))`` — the collect_list form materializes
+    every gram hash of a document in one aggregation buffer, O(doc_len)
+    executor memory per group."""
+    from pyspark.sql import Window
+
     grams = docs.select(
         id_col,
         F.explode(
@@ -75,9 +82,13 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("gram"),
     ).withColumn("gh", hash64(F.col("gram")))
-    return grams.groupBy(id_col).agg(
+    w = Window.partitionBy(id_col).orderBy("gh")
+    two = grams.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 2)
+    # duplicates of the minimum preserved: rn=2 can carry the same value as
+    # rn=1, exactly like sorted_list[1]; a single-gram doc yields NULL
+    return two.groupBy(id_col).agg(
         F.min("gh").alias("fp_min"),
-        F.sort_array(F.collect_list("gh")).getItem(1).alias("fp_second"),
+        F.max(F.when(F.col("_rn") == 2, F.col("gh"))).alias("fp_second"),
     )
 
 

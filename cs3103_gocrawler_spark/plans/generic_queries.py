@@ -237,7 +237,10 @@ def q_host_aggregate(spark, sf_dir):
         orders.groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_orderstatus").cast("long").alias("status_count"),
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            # serialized (not array<string>) so the driver's canonicalizer —
+            # which sort_values the output columns — can hash it
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), "|")
+            .alias("statuses"),
             F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
             F.count("*").alias("n_orders"),
         )
@@ -253,7 +256,7 @@ def q_host_aggregate(spark, sf_dir):
 SQL_HOST_AGGREGATE = """
 SELECT o_orderpriority,
        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_count,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        count(*) AS n_orders,
        CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -659,17 +662,109 @@ WHERE cosine >= 0.3
 """
 
 # --------------------------------------------------------------------------
-# rows-only entries (non-SQL-expressible pandas-UDF pipelines)
+# pandas-UDF pipelines with reconstructed SQL twins
+#
+# These run as Arrow-batched Python on the Spark side, but their outputs are
+# deterministic functions of the input columns, so the DuckDB twin can
+# recompute them exactly (md5/sha256 + arithmetic) — a full hash-checked
+# oracle instead of a rows-only record.
 # --------------------------------------------------------------------------
 
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def _tri_count_sql(tri: str) -> str:
+    # python str.count(): non-overlapping left-to-right — identical to the
+    # length-delta of replace(); / on ints is float division in DuckDB but the
+    # delta is always divisible by 3 so the value is an exact integer double
+    esc = tri.replace("'", "''")
+    return f"(length(t) - length(replace(t, '{esc}', ''))) / 3"
+
+
+def _lang_score_sql(lang: str) -> str:
+    tris = textstats._LANG_PROFILES[lang]
+    total = " + ".join(_tri_count_sql(t) for t in tris)
+    return f"(({total}) / greatest(length(t), 1))"
+
+
+# the sequential best-score fold in lang_id_py keeps the FIRST language (in
+# profile order en,es,fr,de) attaining the max score — replicated via
+# greatest() + ordered CASE
+SQL_LANG_ID = """
+WITH t0 AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS t,
+         regexp_matches(substr(text, 1, 400), '[一-鿿]') AS cjk
+  FROM documents),
+sc AS (
+  SELECT doc_id, cjk,
+         {s_en} AS s_en, {s_es} AS s_es, {s_fr} AS s_fr, {s_de} AS s_de
+  FROM t0)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+            WHEN s_fr >= s_de THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM sc
+""".format(
+    s_en=_lang_score_sql("en"), s_es=_lang_score_sql("es"),
+    s_fr=_lang_score_sql("fr"), s_de=_lang_score_sql("de"),
+)
+
+
 def q_similarity_lsh_bucketed(spark, sf_dir):
     return similarity.bucketed_cosine_topk(
         _t(spark, sf_dir, "embeddings"), k=5, query_mod=50
     )
+
+
+def _lsh_bucket_sql(table: int, n_planes: int = 6, dim: int = 64) -> str:
+    """Reconstruct hyperplane_lsh_buckets for one LSH table: the hyperplane
+    signs are deterministic driver-side constants (similarity._plane_sign_py),
+    embedded as ±1 literals; the projection is an explicit left-associated
+    chain so float accumulation order matches Spark's F.aggregate fold."""
+    bits = []
+    for b in range(n_planes):
+        chain = "0.0"
+        for d in range(dim):
+            s = similarity._plane_sign_py(b, d, table)
+            chain = f"({chain} + e[{d + 1}] * {s:.1f})"
+        bits.append(f"(CASE WHEN {chain} > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_LSH_N_TABLES = 3
+
+SQL_SIMILARITY_LSH_BUCKETED = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{bucket_ctes},
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    {cand_unions})),
+p AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine
+  FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p)
+WHERE rank <= 5
+""".format(
+    bucket_ctes=",\n".join(
+        f"bt{t} AS (SELECT vec_id, {_lsh_bucket_sql(t)} AS bucket FROM v)"
+        for t in range(_LSH_N_TABLES)
+    ),
+    cand_unions="\n    UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id "
+        f"FROM bt{t} q JOIN bt{t} n ON q.bucket = n.bucket "
+        f"AND q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id"
+        for t in range(_LSH_N_TABLES)
+    ),
+)
 
 
 def q_scrape_tables(spark, sf_dir):
@@ -694,18 +789,75 @@ def q_scrape_tables(spark, sf_dir):
             ).alias("html"),
         )
     )
-    return scrape_tables(docs, url_col="url", body_col="html")
+    return scrape_tables(docs, url_col="url", body_col="html").withColumn(
+        # serialized for the driver canonicalizer (array cols are unhashable
+        # in its pandas sort); '|' never appears in the constructed cells
+        "cells", F.array_join("cells", "|")
+    )
+
+
+# the constructed HTML has exactly one table with rows [source, lang] and
+# ['chars', n_chars] — the scrape output is therefore a pure function of the
+# input columns and the oracle reconstructs it relationally
+SQL_SCRAPE_TABLES = """
+SELECT CAST(doc_id AS VARCHAR) AS url, 0 AS table_idx, 0 AS row_idx,
+       source || '|' || lang AS cells
+FROM documents WHERE doc_id % 100 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 0, 1, 'chars|' || CAST(n_chars AS VARCHAR)
+FROM documents WHERE doc_id % 100 = 0
+"""
 
 
 def q_multimodal_extract(spark, sf_dir):
     """Multimodal plumbing over sf_dir: documents' text bytes as the opaque
-    binary payload (modality 'stub'), batch feature extraction."""
+    binary payload (modality 'stub'), batch feature extraction. The raw
+    ``feature`` array is reduced to a left-fold checksum for the registry so
+    the driver can hash it (and the DuckDB twin can recompute it)."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.encode("text", "utf-8").alias("payload"),
         F.lit("stub").alias("modality"),
     )
-    return extract_features(docs, "doc_id", "payload", "modality")
+    feats = extract_features(docs, "doc_id", "payload", "modality")
+    return feats.select(
+        "id", "modality", "n_bytes", "decode_ok",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+            6,
+        ).alias("feature_sum"),
+    )
+
+
+def _mm_u32_sql(i: int) -> str:
+    """uint32 #i (little-endian) of the sha256 digest repeated to 64 bytes —
+    multimodal._stub_decode's frombuffer reconstructed from the hex string."""
+    parts = []
+    for j in range(4):
+        pos = (4 * (i % 8) + j) * 2 + 1
+        parts.append(f"CAST('0x' || substr(h, {pos}, 2) AS BIGINT) * {256 ** j}")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _mm_checksum_sql() -> str:
+    # left-associated chain matching F.aggregate's fold order; each element is
+    # (u32 / 2^32) rounded through float32 exactly as numpy's astype(float32)
+    chain = "0.0"
+    for i in range(16):
+        term = f"CAST(CAST({_mm_u32_sql(i)} / 4294967296.0 AS FLOAT) AS DOUBLE)"
+        chain = f"({chain} + {term})"
+    return chain
+
+
+SQL_MULTIMODAL_EXTRACT = f"""
+WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS id, 'stub' AS modality,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  sha256(text) AS h
+           FROM documents)
+SELECT id, modality, n_bytes, true AS decode_ok,
+       round({_mm_checksum_sql()}, 6) AS feature_sum
+FROM b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -737,8 +889,8 @@ QUERIES = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "scrape_tables": (q_scrape_tables, None),
-    "lang_id": (q_lang_id, None),
-    "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, None),
-    "multimodal_extract": (q_multimodal_extract, None),
+    "scrape_tables": (q_scrape_tables, SQL_SCRAPE_TABLES),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, SQL_SIMILARITY_LSH_BUCKETED),
+    "multimodal_extract": (q_multimodal_extract, SQL_MULTIMODAL_EXTRACT),
 }
