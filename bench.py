@@ -52,9 +52,18 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
 def _ensure_web(spark, params: dict) -> str:
-    from cs3103_gocrawler_spark.synthetic.webgen import WebConfig, generate_spark
+    from cs3103_gocrawler_spark.synthetic.webgen import (
+        WEBGEN_VERSION,
+        WebConfig,
+        generate_spark,
+    )
 
-    d = os.path.join(CACHE, f"web_s{params['seed']}_h{params['n_hosts']}_p{params['n_pages']}")
+    # WEBGEN_VERSION in the key: a cached web from an older payload
+    # derivation would silently fail every validation recompute
+    d = os.path.join(
+        CACHE,
+        f"web_v{WEBGEN_VERSION}_s{params['seed']}_h{params['n_hosts']}_p{params['n_pages']}",
+    )
     if not os.path.exists(os.path.join(d, "pages.parquet", "_SUCCESS")):
         cfg = WebConfig(**params)
         generate_spark(spark, cfg, d, partitions=max(32, params["n_pages"] // 20000))

@@ -114,9 +114,17 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        n_perms: int = N_PERMS, band_size: int = BAND_SIZE) -> DataFrame:
+                        n_perms: int = N_PERMS, band_size: int = BAND_SIZE,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature, bucket-join within bands → distinct candidate
-    pairs (a < b). The self-join shuffles on (band_id, band_hash) only."""
+    pairs (a < b). The self-join shuffles on (band_id, band_hash) only.
+
+    ``max_bucket_size`` is the giant-bucket guard (module docstring): one
+    pathological near-dup cluster of c docs makes a c² bucket join. Buckets
+    above the cap are DROPPED before the self-join (standard LSH practice —
+    such clusters are better handled by exact_dedup on their shared prefix);
+    the membership aggregation is a map-side-combinable count, not a collect.
+    Default None keeps the exact oracle-twin semantics."""
     n_bands = n_perms // band_size
     banded = signatures.select(
         F.col(id_col).alias("doc"),
@@ -129,6 +137,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band_id", "band_key"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        banded = (
+            banded.join(
+                sizes.filter(F.col("_bucket_n") <= max_bucket_size),
+                ["band_id", "band_key"],
+            )
+            .drop("_bucket_n")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -143,8 +162,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
-    return lsh_candidate_pairs(minhash_signatures(docs, **kw))
+def minhash_lsh_pairs(docs: DataFrame, max_bucket_size: int | None = None,
+                      **kw) -> DataFrame:
+    return lsh_candidate_pairs(
+        minhash_signatures(docs, **kw), max_bucket_size=max_bucket_size
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

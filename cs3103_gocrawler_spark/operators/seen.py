@@ -10,12 +10,21 @@ tier 2  exact ``left_anti`` join on the url string against the seen table —
         guarantees exactness regardless of bloom FPR (and of the ~3 expected
         64-bit hash collisions at 10^10 URLs).
 
-The bloom is maintained driver-side as a numpy bit array, unioned with each
-round's newly-seen sha1s (incremental per-round build, SURVEY.md §7 hard-part
-(c) — no full rescan). At true 10^10 scale the per-round delta build moves to
-executors (per-partition blooms OR-merged via treeAggregate, or Iceberg's
-bloom write option); the probe path — a broadcast + vectorized pandas UDF —
-is unchanged, which is the part that matters for the plan shape.
+The bloom is SEGMENTED: key ``h`` lives entirely inside segment ``pmod(h, S)``,
+whose bit array is an independent ``m_seg``-bit bloom. That makes the
+per-round build a *Spark job*, not a driver loop:
+
+    fetched Δ ──repartition(S, pmod(url_sha1, S))──► mapInPandas builds each
+    segment's bitmap where its rows live ──► driver collects S segment rows
+    (m bits total — NOT n data rows) and ORs them into the running filter.
+
+Driver traffic per round is therefore O(filter size), independent of row
+count — the previous design collected every (url_sha1, depth, outcome) row
+into pandas, a multi-GB pull and a serial Amdahl fraction at 10^8-row rounds
+(measured: 8→32-core efficiency 0.361 vs a 1.017 machine ceiling). At true
+10^10 scale the same segment rows persist as a partitioned table and the
+probe becomes a co-partitioned join; segment routing already matches that
+layout.
 """
 
 from __future__ import annotations
@@ -35,38 +44,166 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return (x ^ (x >> np.uint64(31))) & _MASK
 
 
-class Bloom:
-    """Vectorized numpy bloom filter keyed by int64 hashes (double hashing)."""
+def _segment_of(h: np.ndarray, s: int) -> np.ndarray:
+    """numpy % on int64 matches Spark's pmod for positive divisors
+    (non-negative result) — the routing must agree between the repartition
+    expression and the worker-side grouping."""
+    return np.mod(h.astype(np.int64), np.int64(s)).astype(np.int64)
 
-    def __init__(self, capacity: int, fpr: float = 1e-3):
-        m = max(64, int(-capacity * np.log(fpr) / (np.log(2) ** 2)))
-        self.m = np.uint64((m + 7) // 8 * 8)
-        self.k = max(1, int(round(float(self.m) / max(capacity, 1) * np.log(2))))
-        self.bits = np.zeros(int(self.m) // 8, dtype=np.uint8)
+
+def _local_indices(h: np.ndarray, m_seg: np.uint64, k: int):
+    """k double-hashed bit positions within the key's segment."""
+    h1 = h.astype(np.int64).view(np.uint64)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % m_seg).astype(np.uint64)
+
+
+def _build_segment_bitmap(h: np.ndarray, m_seg: int, k: int) -> np.ndarray:
+    bits = np.zeros(m_seg // 8, dtype=np.uint8)
+    for idx in _local_indices(h, np.uint64(m_seg), k):
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+        )
+    return bits
+
+
+class Bloom:
+    """Vectorized numpy bloom filter keyed by int64 hashes (double hashing),
+    split into ``n_segments`` independent sub-filters routed by
+    ``pmod(h, n_segments)``. ``n_segments=1`` is the classic single-array
+    filter; the engine uses >1 so each round's delta is built executor-side
+    (module docstring)."""
+
+    def __init__(self, capacity: int, fpr: float = 1e-3, n_segments: int = 1):
+        self.s = max(1, int(n_segments))
+        cap_seg = max(1, capacity // self.s)
+        m = max(64, int(-cap_seg * np.log(fpr) / (np.log(2) ** 2)))
+        self.m_seg = np.uint64((m + 7) // 8 * 8)
+        self.k = max(1, int(round(float(self.m_seg) / max(cap_seg, 1) * np.log(2))))
+        self.bits = np.zeros(int(self.m_seg) // 8 * self.s, dtype=np.uint8)
         self.n_added = 0
 
-    def _indices(self, h: np.ndarray):
-        h1 = h.astype(np.int64).view(np.uint64)
-        h2 = _splitmix64(h1) | np.uint64(1)
-        for i in range(self.k):
-            yield ((h1 + np.uint64(i) * h2) % self.m).astype(np.uint64)
+    @property
+    def seg_bytes(self) -> int:
+        return int(self.m_seg) // 8
+
+    def or_segment(self, seg: int, bitmap: bytes, n_rows: int) -> None:
+        """Merge an executor-built segment delta (one round, one segment)."""
+        a = np.frombuffer(bitmap, dtype=np.uint8)
+        lo = seg * self.seg_bytes
+        self.bits[lo:lo + self.seg_bytes] |= a
+        self.n_added += n_rows
 
     def add(self, hashes: np.ndarray) -> None:
-        if len(hashes) == 0:
+        """Driver-side add (tests / tiny deltas); the engine path is
+        ``build_round_state`` → ``or_segment``."""
+        h = np.asarray(hashes)
+        if len(h) == 0:
             return
-        for idx in self._indices(np.asarray(hashes)):
-            np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
-                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-        self.n_added += len(hashes)
+        segs = _segment_of(h, self.s)
+        base = (segs.astype(np.uint64) * self.m_seg)
+        for idx in _local_indices(h, self.m_seg, self.k):
+            g = base + idx
+            np.bitwise_or.at(
+                self.bits, (g >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (g & np.uint64(7)).astype(np.uint8),
+            )
+        self.n_added += len(h)
 
     def might_contain(self, hashes: np.ndarray) -> np.ndarray:
-        res = np.ones(len(hashes), dtype=bool)
+        h = np.asarray(hashes)
         if self.n_added == 0:
-            return np.zeros(len(hashes), dtype=bool)
-        for idx in self._indices(np.asarray(hashes)):
-            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
-            res &= (byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))) != 0
+            return np.zeros(len(h), dtype=bool)
+        res = np.ones(len(h), dtype=bool)
+        base = _segment_of(h, self.s).astype(np.uint64) * self.m_seg
+        for idx in _local_indices(h, self.m_seg, self.k):
+            g = base + idx
+            byte = self.bits[(g >> np.uint64(3)).astype(np.int64)]
+            res &= (byte & (np.uint8(1) << (g & np.uint64(7)).astype(np.uint8))) != 0
         return res
+
+
+_STATE_SCHEMA = (
+    "seg int, bitmap binary, n_rows long, outcome string, min_depth long"
+)
+
+
+def build_round_state(df: DataFrame, bloom: Bloom) -> tuple[dict, int | None]:
+    """ONE Spark job that replaces the old full-result ``toPandas``: routes
+    the round's (url_sha1, depth, outcome) by bloom segment, builds each
+    segment's bitmap delta executor-side, and returns the per-outcome counts
+    and min depth. Mutates ``bloom`` by OR-merging the segment deltas.
+
+    Collected rows: ≤ S segment rows (bloom-sized) + ≤ S·|outcomes| stat rows
+    — independent of the round's row count.
+    """
+    s, m_seg, k = bloom.s, int(bloom.m_seg), bloom.k
+    has_stats = "depth" in df.columns
+    cols = ["url_sha1", "depth", "outcome"] if has_stats else ["url_sha1"]
+    routed = df.select(*cols).repartition(s, F.pmod(F.col("url_sha1"), F.lit(s)))
+
+    def build(batches):
+        acc: dict[int, np.ndarray] = {}
+        counts: dict[str, int] = {}
+        min_depth = None
+        for pdf in batches:
+            h = pdf["url_sha1"].to_numpy(dtype=np.int64)
+            segs = _segment_of(h, s)
+            for seg in np.unique(segs):
+                bm = _build_segment_bitmap(h[segs == seg], m_seg, k)
+                if int(seg) in acc:
+                    acc[int(seg)] |= bm
+                else:
+                    acc[int(seg)] = bm
+            if has_stats and len(pdf):
+                for o, n in pdf["outcome"].value_counts().items():
+                    counts[o] = counts.get(o, 0) + int(n)
+                d = int(pdf["depth"].min())
+                min_depth = d if min_depth is None else min(min_depth, d)
+        out = {"seg": [], "bitmap": [], "n_rows": [], "outcome": [],
+               "min_depth": []}
+        for seg, bm in acc.items():
+            out["seg"].append(seg)
+            out["bitmap"].append(bm.tobytes())
+            out["n_rows"].append(0)
+            out["outcome"].append(None)
+            out["min_depth"].append(None)
+        for o, n in counts.items():
+            out["seg"].append(None)
+            out["bitmap"].append(None)
+            out["n_rows"].append(n)
+            out["outcome"].append(o)
+            out["min_depth"].append(min_depth)
+        yield pd.DataFrame(out)
+
+    counts: dict[str, int] = {}
+    min_depth: int | None = None
+    seg_rows = 0
+    for r in routed.mapInPandas(build, schema=_STATE_SCHEMA).collect():
+        if r["seg"] is not None:
+            bloom.or_segment(int(r["seg"]), r["bitmap"], 0)
+            seg_rows += 1
+        else:
+            counts[r["outcome"]] = counts.get(r["outcome"], 0) + int(r["n_rows"])
+            if r["min_depth"] is not None:
+                d = int(r["min_depth"])
+                min_depth = d if min_depth is None else min(min_depth, d)
+    bloom.n_added += sum(counts.values()) if has_stats else 0
+    return counts, min_depth
+
+
+def build_bloom_distributed(df: DataFrame, bloom: Bloom) -> None:
+    """Bloom-only variant (resume path): add every url_sha1 in ``df`` via the
+    executor-side segment build. Marks the filter non-empty even when counts
+    are unknown."""
+    n_before = bloom.n_added
+    build_round_state(df.select("url_sha1"), bloom)
+    if bloom.n_added == n_before:
+        # stats-less build: approximate n_added with a cheap count so the
+        # probe path knows the filter is live
+        bloom.n_added += df.count()
 
 
 def filter_unseen(
@@ -86,13 +223,15 @@ def filter_unseen(
     if bloom is None or bloom.n_added == 0:
         return candidates.join(seen.select("url"), "url", "left_anti"), candidates.limit(0)
 
-    state = spark.sparkContext.broadcast((bloom.bits, int(bloom.m), bloom.k))
+    state = spark.sparkContext.broadcast(
+        (bloom.bits, int(bloom.m_seg), bloom.k, bloom.s)
+    )
 
     @F.pandas_udf("boolean")
     def might_contain(h: pd.Series) -> pd.Series:
-        bits, m, k = state.value
+        bits, m_seg, k, s = state.value
         b = Bloom.__new__(Bloom)
-        b.bits, b.m, b.k, b.n_added = bits, np.uint64(m), k, 1
+        b.bits, b.m_seg, b.k, b.s, b.n_added = bits, np.uint64(m_seg), k, s, 1
         return pd.Series(b.might_contain(h.to_numpy(dtype=np.int64)))
 
     flagged = candidates.withColumn("_maybe", might_contain(F.col("url_sha1")))

@@ -48,34 +48,86 @@ def with_cosine(df: DataFrame, a: str = "a_vec", b: str = "b_vec",
     )
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k cosine neighbors for the query subset (id % query_mod == 0)
-    against ALL vectors. Neighbor side is broadcast if small; ties broken by
-    neighbor id for full determinism."""
-    q = emb.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
+def _exact_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k, skew-proof: phase 1 ranks within
+    (query_id, physical partition) — any global top-k row is necessarily in
+    its partition's top-k, so this prunes to ≤ k·P rows per query before the
+    per-query window. A single window over query_id alone puts every scored
+    neighbor of one query in one window partition (10⁹ rows at scale)."""
+    p1 = scored.withColumn("_pid", F.spark_partition_id())
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    pruned = (
+        p1.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_pid")
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
-    pairs = q.join(F.broadcast(n), F.col("query_id") != F.col("neighbor_id"))
-    scored = with_cosine(pairs).drop("a_vec", "b_vec")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
+def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for the query subset (id % query_mod == 0)
+    against ALL vectors; ties broken by neighbor id for full determinism.
+
+    Scale shape: the QUERY side (1/query_mod of the data by construction) is
+    the broadcast side; the full vector set streams and is never broadcast —
+    broadcasting the neighbor side OOMs the moment the corpus outgrows one
+    executor. Top-k selection is the two-phase skew-proof rank."""
+    q = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    pairs = n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = with_cosine(pairs).drop("a_vec", "b_vec")
+    return _exact_topk(scored, k)
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup dedup.
-    Quadratic: use only at verify scale or behind LSH buckets."""
+    """All pairs (a < b) with cosine ≥ threshold — the EXACT near-dup
+    baseline. Inherently quadratic: verify-scale only (it is the oracle twin
+    of ``embedding_neardup_lsh``, which is the scale path)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.95,
+                          n_planes: int = 6, n_tables: int = 3,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup at scale: candidate pairs share a hyperplane-LSH
+    bucket in ≥1 of ``n_tables`` tables (shuffle key = bucket, never a cross
+    join), then exact cosine ≥ threshold on candidates only. Same output
+    columns as the exact baseline; recall < 1 by construction (tunable via
+    n_planes/n_tables) and reproducible in SQL because the hyperplane signs
+    are deterministic constants."""
+    cands = None
+    for t in range(n_tables):
+        bucketed = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col, table=t)
+        left = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
+        right = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
+        p = (
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    pairs = cands.join(a, "id_a").join(b, "id_b")
     return (
         with_cosine(pairs)
         .filter(F.col("cosine") >= threshold)
@@ -117,24 +169,58 @@ def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,
         )
         bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
+    # >_MAX_DIM vectors would null-pad the sign slice, null the projection,
+    # and silently collapse everything into bucket 0 (a near-cross-join);
+    # fail loudly instead
+    sig = F.when(
+        F.size(F.col(vec_col)) > _MAX_DIM,
+        F.raise_error(F.lit(
+            f"hyperplane_lsh_buckets supports ≤{_MAX_DIM} dims; widen _MAX_DIM"
+        )).cast("int"),
+    ).otherwise(sig)
     return emb.select(id_col, vec_col, sig.cast("int").alias("bucket"))
+
+
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """All XOR masks with ≤ probe_bits set bits — the multi-probe sequence."""
+    return [m for m in range(1 << n_planes)
+            if bin(m).count("1") <= probe_bits]
 
 
 def bucketed_cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                          n_planes: int = 6, n_tables: int = 3,
+                         probe_bits: int = 2,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket —
     the join shuffles on bucket instead of crossing everything. Standard
-    multi-table LSH: ``n_tables`` independent hyperplane sets, candidate
-    pairs unioned across tables (recall ≈ 1-(1-p^b)^T), cosine scored once
-    per distinct pair."""
+    multi-table LSH (``n_tables`` independent hyperplane sets) plus
+    MULTI-PROBE (Lv et al., VLDB'07): the query side also probes every
+    bucket within Hamming distance ``probe_bits`` of its own signature,
+    which buys recall without the memory cost of more tables. Only the
+    tiny query side explodes (×Σ C(n_planes,i)); the full vector set still
+    joins once per table on its single bucket. Per-table candidate recall
+    for angle θ with p = 1-θ/π is Σ_{{i≤probe_bits}} C(b,i)·p^(b-i)(1-p)^i.
+
+    Sizing at scale: n_planes should grow with the corpus (≈ log2(n/target
+    bucket size)); these defaults are test-scale. Candidate pairs are
+    unioned across tables/probes and cosine-scored once per distinct pair."""
+    masks = probe_masks(n_planes, probe_bits)
     cands = None
     for t in range(n_tables):
         bucketed = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col, table=t)
         q = bucketed.filter(F.col(id_col) % query_mod == 0).select(
             F.col(id_col).alias("query_id"), "bucket"
         )
+        if probe_bits > 0:
+            q = q.select(
+                "query_id",
+                F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
+                "bucket",
+            ).select(
+                "query_id",
+                F.col("bucket").bitwiseXOR(F.col("_mask")).alias("bucket"),
+            )
         n = bucketed.select(F.col(id_col).alias("neighbor_id"), "bucket")
         p = q.join(n, ["bucket"]).filter(
             F.col("query_id") != F.col("neighbor_id")
@@ -147,11 +233,4 @@ def bucketed_cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     vecs_n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
     pairs = cands.join(F.broadcast(vecs_q), "query_id").join(vecs_n, "neighbor_id")
     scored = with_cosine(pairs).drop("a_vec", "b_vec")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_topk(scored, k)

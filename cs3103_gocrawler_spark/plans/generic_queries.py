@@ -661,6 +661,14 @@ SELECT id_a, id_b, cosine FROM (
 WHERE cosine >= 0.3
 """
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The scale path for embedding near-dup: LSH-bucketed candidates, exact
+    cosine verify — shuffle key is the bucket, never a cross join."""
+    return similarity.embedding_neardup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 # --------------------------------------------------------------------------
 # pandas-UDF pipelines with reconstructed SQL twins
 #
@@ -713,9 +721,13 @@ FROM sc
 )
 
 
+_LSH_PROBE_BITS = 3  # recall 1.0 vs exact top-5 on the sf embeddings
+
+
 def q_similarity_lsh_bucketed(spark, sf_dir):
     return similarity.bucketed_cosine_topk(
-        _t(spark, sf_dir, "embeddings"), k=5, query_mod=50
+        _t(spark, sf_dir, "embeddings"), k=5, query_mod=50,
+        probe_bits=_LSH_PROBE_BITS,
     )
 
 
@@ -736,6 +748,35 @@ def _lsh_bucket_sql(table: int, n_planes: int = 6, dim: int = 64) -> str:
 
 _LSH_N_TABLES = 3
 
+def _lsh_bucket_ctes() -> str:
+    return ",\n".join(
+        f"bt{t} AS (SELECT vec_id, {_lsh_bucket_sql(t)} AS bucket FROM v)"
+        for t in range(_LSH_N_TABLES)
+    )
+
+
+SQL_EMBEDDING_NEARDUP_LSH = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{bucket_ctes},
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    {cand_unions})),
+p AS (
+  SELECT c.id_a, c.id_b,
+         round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine
+  FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+""".format(
+    bucket_ctes="PLACEHOLDER_CTES",
+    cand_unions="\n    UNION ALL ".join(
+        f"SELECT l.vec_id AS id_a, r.vec_id AS id_b "
+        f"FROM bt{t} l JOIN bt{t} r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"
+        for t in range(_LSH_N_TABLES)
+    ),
+).replace("PLACEHOLDER_CTES", _lsh_bucket_ctes())
+
 SQL_SIMILARITY_LSH_BUCKETED = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 {bucket_ctes},
@@ -754,17 +795,18 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM p)
 WHERE rank <= 5
 """.format(
-    bucket_ctes=",\n".join(
-        f"bt{t} AS (SELECT vec_id, {_lsh_bucket_sql(t)} AS bucket FROM v)"
-        for t in range(_LSH_N_TABLES)
-    ),
+    bucket_ctes="PLACEHOLDER_CTES",
+    # multi-probe: the query side probes every bucket within Hamming distance
+    # _LSH_PROBE_BITS of its signature (similarity.bucketed_cosine_topk)
     cand_unions="\n    UNION ALL ".join(
         f"SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id "
-        f"FROM bt{t} q JOIN bt{t} n ON q.bucket = n.bucket "
-        f"AND q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id"
+        f"FROM (SELECT b.vec_id, xor(b.bucket, pm.mask) AS bucket FROM bt{t} b, "
+        f"(SELECT unnest({similarity.probe_masks(6, _LSH_PROBE_BITS)}) AS mask) pm "
+        f"WHERE b.vec_id % 50 = 0) q "
+        f"JOIN bt{t} n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id"
         for t in range(_LSH_N_TABLES)
     ),
-)
+).replace("PLACEHOLDER_CTES", _lsh_bucket_ctes())
 
 
 def q_scrape_tables(spark, sf_dir):
@@ -889,6 +931,7 @@ QUERIES = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "scrape_tables": (q_scrape_tables, SQL_SCRAPE_TABLES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, SQL_SIMILARITY_LSH_BUCKETED),

@@ -18,9 +18,10 @@ One round replaces one wave of the reference's goroutine tree
     manifest commit = checkpoint
 
 Job discipline (this matters at scale as much as shuffle discipline): a round
-runs exactly 3 Spark jobs — fetched write, one driver collect of
-(url_sha1, depth, outcome) that feeds the bloom update, the metrics counters,
-and the can-spawn check, and the frontier write. Row counts come from parquet
+runs exactly 3 Spark jobs — fetched write, ONE round-state job
+(seen.build_round_state: outcome counts + min-depth + the bloom segment
+deltas built executor-side; the driver receives bloom-sized segment rows,
+never per-URL rows), and the frontier write. Row counts come from parquet
 footer metadata on the driver (Iceberg: snapshot summaries), not count()
 jobs. visited/rejected/seen/validation are *views* over the fetched table
 (column-pruned, predicate-filtered parquet reads), not extra
@@ -49,7 +50,12 @@ from ..operators.canonicalize import with_canonical
 from ..operators.fetch import fetch_process
 from ..operators.matchers import conjunction
 from ..operators.politeness import dequeue
-from ..operators.seen import Bloom, filter_unseen
+from ..operators.seen import (
+    Bloom,
+    build_bloom_distributed,
+    build_round_state,
+    filter_unseen,
+)
 from ..operators.validate import VALIDATION_COL_NAMES
 from ..storage import RoundCatalog
 
@@ -82,6 +88,7 @@ class CrawlConfig:
     n_host_buckets: int = 64
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 1e-3
+    bloom_segments: int = 32
     gen_seed: int = 42
     validate: bool = False
     instrument_bloom: bool = True
@@ -103,7 +110,10 @@ class CrawlEngine:
         self.cfg = config
         self.cat = RoundCatalog(spark, state_dir)
         self.robots = robots
-        self.bloom = Bloom(config.bloom_capacity, config.bloom_fpr)
+        self.bloom = Bloom(
+            config.bloom_capacity, config.bloom_fpr,
+            n_segments=config.bloom_segments,
+        )
         self._blacklist = frozenset(config.blacklist_hosts)
 
     # -------------------------------------------------------------- views
@@ -238,21 +248,26 @@ class CrawlEngine:
         _mark("fetch_extract_write")
         processed = self.cat.read("fetched", r)
 
-        # one driver collect feeds the bloom update, the metric counts, AND the
-        # can-spawn depth check (url_sha1/depth are int64 — the collect stays
-        # a few MB per million URLs)
-        stats = processed.select("url_sha1", "depth", "outcome").toPandas()
-        self.bloom.add(stats["url_sha1"].to_numpy())
-        outcome_counts = stats["outcome"].value_counts().to_dict()
-        _mark("stats_collect")
+        # executor-side round state: ONE job computes the outcome counts, the
+        # min-depth for the can-spawn check, AND the bloom segment deltas —
+        # the driver receives bloom-sized segment rows, never per-URL rows
+        # (seen.build_round_state; the old full-result toPandas was the
+        # serial fraction that flattened 8→32-core scaling to 0.361)
+        outcome_counts, min_depth = build_round_state(processed, self.bloom)
+        _mark("round_state")
+        dequeued_n = sum(outcome_counts.values())
 
         frontier_cols = ["url", "host", "path", "url_sha1", "depth", "parent", "priority"]
         depth_cap = cfg.max_depth - 1  # crawler.go:59
         # skip the whole children pipeline (explode → canon UDF → robots →
         # bloom → anti-join) when no dequeued row can spawn — the depth-capped
         # final round otherwise pays several seconds of dead plan
-        can_spawn = len(stats) > 0 and int(stats["depth"].min()) + 1 <= depth_cap
-        bloom_fp_n = -1
+        can_spawn = (
+            dequeued_n > 0 and min_depth is not None and min_depth + 1 <= depth_cap
+        )
+        # instrumented-but-no-children-pipeline is a real 0 (nothing was
+        # bloom-filtered), distinct from the -1 "not instrumented" sentinel
+        bloom_fp_n = 0 if cfg.instrument_bloom else -1
         if can_spawn:
             # children: J5 edge construction — parent rides the row, no join needed
             visited_r = processed.filter(F.col("outcome") == "ok")
@@ -277,7 +292,7 @@ class CrawlEngine:
             seen_all = self.seen_urls(up_to_round=r)
             unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
             if cfg.instrument_bloom:
-                bloom_fp_n = bloom_fps.count()
+                bloom_fp_n = bloom_fps.count()  # extra job: instrumentation only
             merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
         else:
             children = None
@@ -289,7 +304,6 @@ class CrawlEngine:
         next_n = self.cat.count("frontier", r + 1)
         _mark("frontier_count")
 
-        dequeued_n = int(len(stats))
         deferred_n = pending_n - dequeued_n
         m = {
             "round_id": r,
@@ -330,9 +344,9 @@ class CrawlEngine:
             self.cat.drop_rounds_after(man["last_round"])
             seen = self.fetched_df(up_to_round=man["last_round"])
             if seen is not None:
-                self.bloom.add(
-                    seen.select("url_sha1").toPandas()["url_sha1"].to_numpy()
-                )
+                # same executor-side segment build as the round path — the
+                # driver never pulls the seen sha1s
+                build_bloom_distributed(seen.select("url_sha1"), self.bloom)
         history: list[dict] = []
         for r in range(start, self.cfg.max_rounds):
             m = self._run_round(r)

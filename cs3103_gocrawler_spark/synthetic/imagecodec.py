@@ -132,7 +132,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images.
 
     Integer arithmetic for the MSE sum — exact (≤ 2^53) and ~3× faster than
-    the float64 path, with a bit-identical result."""
+    the float64 path; equal to the old float64 expression to within 1 ulp
+    (the division is reordered: 255²·n/Σ vs 255²/(Σ/n))."""
     diff = a.astype(np.int32) - b.astype(np.int32)
     sq_sum = int((diff * diff).sum())
     if sq_sum == 0:

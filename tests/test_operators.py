@@ -65,6 +65,47 @@ def test_bloom_empty_rejects_all():
     assert not b.might_contain(np.array([1, 2, 3], dtype=np.int64)).any()
 
 
+def test_segmented_bloom_matches_unsegmented_semantics():
+    rng = np.random.default_rng(1)
+    added = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    other = np.setdiff1d(
+        rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64), added
+    )
+    b = Bloom(capacity=50_000, fpr=1e-3, n_segments=16)
+    b.add(added)
+    assert b.might_contain(added).all()
+    assert b.might_contain(other).mean() < 0.01
+
+
+def test_build_round_state_executor_side(spark):
+    """The distributed segment build must produce a bit-identical filter to
+    the driver-side add, and return exact outcome counts + min depth — this
+    is the gate that the round path needs no full-result toPandas."""
+    from cs3103_gocrawler_spark.operators.seen import build_round_state
+
+    rng = np.random.default_rng(2)
+    h = rng.integers(-(2**62), 2**62, size=5_000, dtype=np.int64)
+    pdf = pd.DataFrame({
+        "url_sha1": h,
+        "depth": (np.arange(len(h)) % 5) + 2,
+        "outcome": np.where(np.arange(len(h)) % 7 == 0, "fetch_error", "ok"),
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    b_driver = Bloom(capacity=20_000, fpr=1e-3, n_segments=8)
+    b_driver.add(h)
+    b_dist = Bloom(capacity=20_000, fpr=1e-3, n_segments=8)
+    counts, min_depth = build_round_state(df, b_dist)
+
+    assert np.array_equal(b_driver.bits, b_dist.bits)
+    assert b_dist.n_added == len(h)
+    assert counts == {
+        "ok": int((pdf["outcome"] == "ok").sum()),
+        "fetch_error": int((pdf["outcome"] == "fetch_error").sum()),
+    }
+    assert min_depth == 2
+
+
 def _emb_df(spark, n=120, dim=16, seed=0):
     rng = np.random.default_rng(seed)
     base = rng.normal(size=(6, dim))
@@ -99,6 +140,77 @@ def test_lsh_bucketed_recall(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_lsh_bucketed_recall_gate_sf_embeddings(spark):
+    """The scale-path recall gate (registry parameters) on the real sf0.001
+    embeddings: bucketed ANN must recover ≥0.9 of the exact top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, query_mod=50).toPandas()
+    approx = bucketed_cosine_topk(
+        emb, k=5, query_mod=50, n_planes=6, n_tables=3, probe_bits=3
+    ).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark):
+    """LSH near-dup pairs ⊆ exact pairs (no false positives — the cosine
+    verify is exact), with decent recall on clustered data."""
+    from cs3103_gocrawler_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = _emb_df(spark, n=120)
+    exact = embedding_neardup_pairs(emb, threshold=0.9).toPandas()
+    lsh = embedding_neardup_lsh(emb, threshold=0.9).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    a = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert a <= e
+    assert len(e) == 0 or len(a) / len(e) >= 0.5
+
+
+def test_cosine_topk_broadcasts_query_side_only(spark):
+    """Scale guard: the full neighbor set must never be the broadcast side —
+    only the (1/query_mod) query subset."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = cosine_topk(emb, k=5, query_mod=50)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the broadcast exchange subtree must contain the query_mod filter
+    bx = plan.split("BroadcastExchange")[1]
+    assert "% 50" in bx or "pmod" in bx, plan
+
+
+def test_lsh_bucket_size_cap_drops_giant_buckets(spark):
+    """max_bucket_size: a pathological near-dup cluster must not produce a
+    quadratic bucket join — capped buckets are dropped entirely."""
+    from cs3103_gocrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [{"doc_id": i, "text": "identical text cluster of words here"}
+            for i in range(30)]
+    rows += [{"doc_id": 100 + i, "text": f"unique document number {i} about topic {i}"}
+             for i in range(5)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    uncapped = minhash_lsh_pairs(docs).count()
+    capped = minhash_lsh_pairs(docs, max_bucket_size=10).count()
+    assert uncapped >= 30 * 29 / 2  # the giant cluster is quadratic
+    assert capped < uncapped
+    assert capped == 0  # every bucket of the 30-clone cluster exceeds the cap
+
+
+def test_hyperplane_lsh_rejects_overwide_vectors(spark):
+    import pytest as _pytest
+
+    from cs3103_gocrawler_spark.operators.similarity import hyperplane_lsh_buckets
+
+    wide = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.1] * 80]})
+    )
+    with _pytest.raises(Exception, match="dims|raise_error|USER_RAISED"):
+        hyperplane_lsh_buckets(wide).collect()
 
 
 def test_multimodal_extract_real_and_stub(spark, tiny_web):
