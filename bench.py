@@ -47,7 +47,14 @@ SCALING_WEB = dict(seed=42, n_hosts=300, n_pages=int(os.environ.get("BENCH_WEB_P
 # procs — measured by machine_cpu_scaling and reported alongside); the 4N→16N
 # pair is reported as the secondary point with that ceiling as context.
 SCALING_LEVELS = (2, 8, 32)
-ROUNDS_WEB = dict(seed=42, n_hosts=100, n_pages=30000)
+# multi-round crawl block: reuses the (cached) scaling web; seeded broadly so
+# the budgeted crawl dequeues >=1e5 URLs — at that volume the engine, not the
+# ~2-4 s/round fixed job overhead, dominates the quotient (the old 159-URL
+# block measured almost pure overhead)
+CRAWL_SEED_MOD = 50
+CRAWL_BUDGET = 100
+CRAWL_DEPTH = 5
+CRAWL_MAX_ROUNDS = 6
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -127,22 +134,28 @@ def run_queries(spark, sf_dir: str) -> dict:
 
 
 def run_crawl_rounds(spark, web_dir: str, state_dir: str) -> dict:
-    """Full micro-batch crawl (the semantics benchmark)."""
+    """Multi-round budgeted crawl at honest scale: broad seeding over the 1M
+    page web + per-host budget so >=1e5 URLs are dequeued across rounds —
+    fetch join, fused enrich/extract/validate, politeness dequeue, bloom
+    anti-join, and checkpoint commits all in the measured path."""
     from pyspark.sql import functions as F  # noqa: N812
 
     from cs3103_gocrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
 
     pages = spark.read.parquet(f"{web_dir}/pages.parquet")
-    seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+    seeds = (
+        pages.filter(F.pmod(F.xxhash64("image_id"), F.lit(CRAWL_SEED_MOD)) == 0)
+        .select(F.col("image_id").alias("url"), F.lit(0).cast("int").alias("priority"))
+    )
     cfg = CrawlConfig(
-        max_depth=5, budget_per_host=20,
+        max_depth=CRAWL_DEPTH, budget_per_host=CRAWL_BUDGET,
         blacklist_hosts=("blocked0.test", "blocked1.test"),
         validate=True, instrument_bloom=False,
-        bloom_capacity=1 << 22,
+        bloom_capacity=1 << 22, max_rounds=CRAWL_MAX_ROUNDS,
     )
     eng = CrawlEngine(spark, pages, cfg, state_dir)
     t0 = time.monotonic()
-    eng.init_frontier(seeds.withColumn("priority", F.col("priority").cast("int")))
+    eng.init_frontier(seeds)
     hist = eng.run()
     wall = time.monotonic() - t0
     dequeued = sum(h.get("dequeued", 0) for h in hist)
@@ -247,16 +260,16 @@ def main():
     spark = _build(cpus)
     queries = run_queries(spark, sf_dir)
 
-    rounds_web = _ensure_web(spark, ROUNDS_WEB)
+    crawl_web = _ensure_web(spark, SCALING_WEB)
     import shutil
 
     state = os.path.join(CACHE, "rounds_state")
     shutil.rmtree(state, ignore_errors=True)
-    crawl = run_crawl_rounds(spark, rounds_web, state)
+    crawl = run_crawl_rounds(spark, crawl_web, state)
 
     scaling = {}
     if not args.skip_scaling:
-        scaling_web = _ensure_web(spark, SCALING_WEB)
+        scaling_web = crawl_web
         spark.stop()
         workers = {}
         for cores in SCALING_LEVELS:

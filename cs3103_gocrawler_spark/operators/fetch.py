@@ -45,6 +45,7 @@ def fetch_process(
     backoff_policy: str = "exponential",
     validate: bool = False,
     gen_seed: int = 42,
+    extractor=None,
 ) -> DataFrame:
     """The fused per-round fetch pipeline — fetch join + enrich + link
     extraction (+ inline payload validation) in ONE ``mapInPandas`` pass.
@@ -73,6 +74,13 @@ def fetch_process(
     """
     from .extract import extract_links_py
     from .validate import VALIDATION_COL_NAMES, _validate_row
+
+    # X2 plug-point: any (base_url, body_html) -> list[str] callable — the
+    # reference's pluggable LinkExtractor (linkextractor.go:14); the three
+    # example-app scopes come from extract.make_scoped_extractor
+    if extractor is None:
+        def extractor(u, b, _bl=blacklist):  # noqa: E731 — default extractor
+            return extract_links_py(u, b, _bl)
 
     cols = ["status", "content_type", "body_html"] + (
         list(PAYLOAD_COLS) if validate else []
@@ -136,11 +144,7 @@ def fetch_process(
                 resp.append(page_resp_ms(resp_seed, url))
                 att.append(a)
                 back.append(b)
-                links.append(
-                    extract_links_py(url, body, blacklist)
-                    if outcome == "ok"
-                    else None
-                )
+                links.append(extractor(url, body) if outcome == "ok" else None)
                 if validate:
                     payload, w, h, fmt, caption, phash = pay
                     if payload is None or fmt is None:

@@ -33,20 +33,40 @@ def dequeue(
     pending: DataFrame,
     budget_per_host: int | None,
     salt_buckets: int = 16,
+    host_takes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split pending into (dequeued, deferred). ``budget_per_host=None``
-    dequeues everything (pure BFS — the reference's unbounded fan-out)."""
-    if budget_per_host is None:
+    dequeues everything (pure BFS — the reference's unbounded fan-out).
+
+    ``host_takes`` (host, take) overrides the flat budget with a per-host
+    allowance — the token-carryover path (ST5): the engine joins the
+    host_state table in so a host whose fractional balance rounded down to 0
+    this round defers everything. The join key is host — the same key the
+    rank windows shuffle on, so it adds no extra exchange of the pending
+    side. The phase-1 salt prune uses the same per-host cap."""
+    if budget_per_host is None and host_takes is None:
         return pending, pending.limit(0)
+
+    if host_takes is not None:
+        pending = pending.join(host_takes, "host", "left").withColumn(
+            "_take", F.coalesce(F.col("take"), F.lit(int(budget_per_host or 0)))
+        ).drop("take")
+        cap = F.col("_take")
+    else:
+        cap = F.lit(int(budget_per_host))
 
     salt = F.pmod(F.col("url_sha1"), F.lit(salt_buckets))
     w1 = Window.partitionBy(F.col("host"), salt).orderBy(*_order_cols())
     p1 = pending.withColumn("_r1", F.row_number().over(w1))
-    survivors = p1.filter(F.col("_r1") <= budget_per_host).drop("_r1")
-    pruned_out = p1.filter(F.col("_r1") > budget_per_host).drop("_r1")
+    survivors = p1.filter(F.col("_r1") <= cap).drop("_r1")
+    pruned_out = p1.filter(F.col("_r1") > cap).drop("_r1")
 
     w2 = Window.partitionBy("host").orderBy(*_order_cols())
     ranked = survivors.withColumn("_rank", F.row_number().over(w2))
-    dequeued = ranked.filter(F.col("_rank") <= budget_per_host).drop("_rank")
-    deferred = ranked.filter(F.col("_rank") > budget_per_host).drop("_rank")
+    dequeued = ranked.filter(F.col("_rank") <= cap).drop("_rank")
+    deferred = ranked.filter(F.col("_rank") > cap).drop("_rank")
+    if host_takes is not None:
+        dequeued = dequeued.drop("_take")
+        deferred = deferred.drop("_take")
+        pruned_out = pruned_out.drop("_take")
     return dequeued, deferred.unionByName(pruned_out)

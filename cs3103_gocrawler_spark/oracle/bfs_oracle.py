@@ -46,16 +46,30 @@ class OracleResult:
     rounds: list = field(default_factory=list)       # per-round {round_id, dequeued, fetched_ok, rejected, new_urls, deferred}
 
 
-def _extract_links(body_links: list[str], blacklist: set[str], base: str) -> list[str]:
+def _extract_links(body_links: list[str], blacklist: set[str], base: str,
+                   blacklist_substrings: tuple[str, ...] = (),
+                   same_host: bool = False,
+                   path_includes: tuple[str, ...] = ()) -> list[str]:
     """Reference DefaultLinkExtractor semantics (linkextractor.go:19-66):
     canonicalize, drop unparsable/non-http(s), drop blacklisted hosts,
-    dedupe, sort."""
+    dedupe, sort — plus the example-app scope filters (P8/P9/P10, same
+    semantics as operators.extract.make_scoped_extractor)."""
+    base_host = url_host(base) if same_host else None
     out = set()
     for href in body_links:
         cu = canonicalize_url(href, base=base)
         if cu is None:
             continue
-        if url_host(cu) in blacklist:
+        host = url_host(cu)
+        if host in blacklist:
+            continue
+        if blacklist_substrings and any(
+            b in host or host in b for b in blacklist_substrings
+        ):
+            continue
+        if same_host and host != base_host:
+            continue
+        if path_includes and not any(p in url_path(cu) for p in path_includes):
             continue
         out.add(cu)
     return sorted(out)
@@ -80,6 +94,10 @@ def crawl_oracle(
     require_html: bool = True,
     max_rounds: int = 10_000,
     resp_seed: int = 42,
+    blacklist_substrings: tuple[str, ...] = (),
+    same_host: bool = False,
+    path_includes: tuple[str, ...] = (),
+    carryover: bool = False,
 ) -> OracleResult:
     """Run the sequential crawl.
 
@@ -92,6 +110,10 @@ def crawl_oracle(
     robots = robots or {}
     res = OracleResult()
     depth_cap = max_depth - 1  # crawler.go:59
+    # ST5 token carryover: per-host fractional balance, refilled by one
+    # budget per round, stores at most one budget (burst ≙ the reference's
+    # rate.NewLimiter(MaxRPS, 1) scaled to rounds, crawler.go:57,105)
+    balances: dict[str, float] = {}
 
     # pending: url -> [depth, parent, priority]; min-(depth,parent) merged
     pending: dict[str, list] = {}
@@ -115,9 +137,23 @@ def crawl_oracle(
         dequeued: list[tuple[str, str]] = []  # (host, url) in deterministic order
         for host in sorted(by_host):
             urls = sorted(by_host[host], key=lambda u: (pending[u][2], pending[u][0], u))
-            take = urls if budget_per_host is None else urls[:budget_per_host]
+            if budget_per_host is None:
+                take = urls
+            elif carryover:
+                allowance = balances.get(host, 0.0) + float(budget_per_host)
+                take = urls[: int(allowance)]  # floor
+            else:
+                take = urls[:budget_per_host]
             for u in take:
                 dequeued.append((host, u))
+        if carryover and budget_per_host is not None:
+            b = float(budget_per_host)
+            n_by_host: dict[str, int] = {}
+            for host, _u in dequeued:
+                n_by_host[host] = n_by_host.get(host, 0) + 1
+            for host in set(balances) | set(by_host):
+                allowance = balances.get(host, 0.0) + b
+                balances[host] = min(allowance - n_by_host.get(host, 0), b)
 
         fetched_ok = rejected_n = 0
         new_children: list[tuple[str, int, str, int]] = []  # (url, depth, parent, prio)
@@ -135,7 +171,11 @@ def crawl_oracle(
                 res.rejected[u] = "matcher"
                 rejected_n += 1
                 continue
-            links = _extract_links(links_by_src.get(u, []), blacklist, base=u)
+            links = _extract_links(
+                links_by_src.get(u, []), blacklist, base=u,
+                blacklist_substrings=blacklist_substrings,
+                same_host=same_host, path_includes=path_includes,
+            )
             res.visited[u] = {"depth": depth, "parent": parent, "links": links}
             seq = host_seq.get(host, 0)
             res.order.append((host, seq, u))
@@ -164,14 +204,16 @@ def crawl_oracle(
                 pending[link] = [d, parent, prio]
                 new_urls += 1
 
-        res.rounds.append({
-            "round_id": round_id,
-            "dequeued": len(dequeued),
-            "fetched_ok": fetched_ok,
-            "rejected": rejected_n,
-            "new_urls": new_urls,
-            "deferred": len(pending) - new_urls,
-        })
+        if dequeued:  # 0-dequeue rounds (all balances < 1) mirror the
+            # engine's metrics filter (metrics_df drops them)
+            res.rounds.append({
+                "round_id": round_id,
+                "dequeued": len(dequeued),
+                "fetched_ok": fetched_ok,
+                "rejected": rejected_n,
+                "new_urls": new_urls,
+                "deferred": len(pending) - new_urls,
+            })
 
     for host, st in res.host_stats.items():
         paths = sorted(st.pop("paths"))

@@ -80,9 +80,27 @@ class CrawlConfig:
     token bucket, which is a wall-clock not a count limit)."""
 
     max_depth: int = 3
-    budget_per_host: int | None = None
+    budget_per_host: int | float | None = None
+    # ST5 — reference token-bucket generalization (crawler.go:57,105):
+    # fractional per-host budget balance carried across rounds via the
+    # host_state table; budget 2.5 alternates 2- and 3-URL rounds
+    politeness_carryover: bool = False
     max_retries: int = 3
     blacklist_hosts: tuple[str, ...] = ()
+    # SO3: expand the blacklist with 'www.'-prefix variants both ways
+    # (explorer config.go:52-65)
+    blacklist_www_variants: bool = False
+    # P8 — explorer's bidirectional-substring host blacklist
+    # (explorer/linkextractor.go:34-42)
+    blacklist_substrings: tuple[str, ...] = ()
+    # P9 — sitemapper's same-host scope (sitemapper/linkextractor.go:26-43)
+    scope_same_host: bool = False
+    # P10 — tianalyser's path-contains include scope
+    # (tianalyser/linkextractor.go:33-53)
+    scope_path_includes: tuple[str, ...] = ()
+    # X2 — custom (base_url, body_html) -> list[str] extractor; overrides the
+    # scope knobs above when set (reference LinkExtractor field)
+    extractor: object | None = None
     matchers: tuple[str, ...] = ("html",)
     salt_buckets: int = 16
     n_host_buckets: int = 64
@@ -114,7 +132,25 @@ class CrawlEngine:
             config.bloom_capacity, config.bloom_fpr,
             n_segments=config.bloom_segments,
         )
-        self._blacklist = frozenset(config.blacklist_hosts)
+        from ..operators.extract import expand_blacklist_www, make_scoped_extractor
+
+        self._blacklist = (
+            expand_blacklist_www(config.blacklist_hosts)
+            if config.blacklist_www_variants
+            else frozenset(config.blacklist_hosts)
+        )
+        self._extractor = config.extractor
+        if self._extractor is None and (
+            config.blacklist_substrings
+            or config.scope_same_host
+            or config.scope_path_includes
+        ):
+            self._extractor = make_scoped_extractor(
+                blacklist=self._blacklist,
+                blacklist_substrings=tuple(config.blacklist_substrings),
+                same_host=config.scope_same_host,
+                path_includes=tuple(config.scope_path_includes),
+            )
 
     # -------------------------------------------------------------- views
     def fetched_df(self, up_to_round: int | None = None) -> DataFrame | None:
@@ -191,6 +227,20 @@ class CrawlEngine:
             )
         )
 
+    def _host_allowance(self, r: int, pending: DataFrame) -> DataFrame:
+        """(host, allowance) for every host in pending ∪ host_state — the
+        distributed form of the per-host token balance (no driver dict; the
+        state is a small table keyed by host, joined on the dequeue key)."""
+        b = float(self.cfg.budget_per_host)
+        ph = pending.select("host").distinct()
+        if self.cat.exists("host_state", r):
+            st = self.cat.read("host_state", r)
+            return ph.join(st, "host", "full") .select(
+                "host",
+                (F.coalesce(F.col("balance"), F.lit(0.0)) + F.lit(b)).alias("allowance"),
+            )
+        return ph.select("host", F.lit(b).alias("allowance"))
+
     def _robots_gate(self, df: DataFrame) -> DataFrame:
         """Drop URLs whose path matches a disallow prefix for their host
         (north_rule robots gating; broadcast dim join — no reference analog)."""
@@ -222,7 +272,21 @@ class CrawlEngine:
         if pending_n == 0:
             return {"round_id": r, "pending": 0, "terminated": True}
 
-        dequeued, deferred = dequeue(pending, cfg.budget_per_host, cfg.salt_buckets)
+        if cfg.politeness_carryover and cfg.budget_per_host is not None:
+            # token carryover (ST5): per-host allowance = balance + budget;
+            # floor dequeues now, the fraction persists in host_state
+            allowance = self._host_allowance(r, pending)
+            takes = allowance.select(
+                "host", F.floor("allowance").cast("int").alias("take")
+            )
+            dequeued, deferred = dequeue(
+                pending, 0, cfg.salt_buckets, host_takes=takes
+            )
+        else:
+            allowance = None
+            dequeued, deferred = dequeue(
+                pending, cfg.budget_per_host, cfg.salt_buckets
+            )
 
         # fused fetch+enrich+extract(+validate): body/payload cross the
         # JVM↔Python pipe exactly once and are dropped inside the worker
@@ -236,6 +300,7 @@ class CrawlEngine:
                 resp_seed=cfg.gen_seed,
                 validate=cfg.validate,
                 gen_seed=cfg.gen_seed,
+                extractor=self._extractor,
             )
             .withColumn("round_id", F.lit(r))
             .withColumn(
@@ -256,6 +321,21 @@ class CrawlEngine:
         outcome_counts, min_depth = build_round_state(processed, self.bloom)
         _mark("round_state")
         dequeued_n = sum(outcome_counts.values())
+
+        if allowance is not None:
+            # balance' = min(allowance − dequeued, budget) per host — the
+            # bucket refills by one budget per round, stores at most one
+            # (burst ≙ reference rate.NewLimiter(MaxRPS, 1) scaled to rounds)
+            b = float(cfg.budget_per_host)
+            counts = processed.groupBy("host").agg(F.count("*").alias("_n"))
+            new_state = allowance.join(counts, "host", "left").select(
+                "host",
+                F.least(
+                    F.col("allowance") - F.coalesce(F.col("_n"), F.lit(0)),
+                    F.lit(b),
+                ).alias("balance"),
+            )
+            self.cat.write(new_state, "host_state", r + 1)
 
         frontier_cols = ["url", "host", "path", "url_sha1", "depth", "parent", "priority"]
         depth_cap = cfg.max_depth - 1  # crawler.go:59
