@@ -13,8 +13,10 @@ Cross-engine parity rules used throughout:
   DuckDB's BIGINT.
 * the shared 60-bit hash is the md5-prefix trick (operators/dedup.py).
 
-Entries with ``oracle=None`` are genuinely non-SQL-expressible (pandas-UDF
-pipelines); the driver records a rows-only check and pytest covers them.
+Every entry — including the pandas-UDF pipelines (lang_id, scrape,
+multimodal) and the LSH paths — carries a full SQL twin: deterministic
+UDF outputs are *reconstructed* in SQL (md5/sha256 + arithmetic, hyperplane
+sign literals), so the driver's hash gate covers the whole registry.
 """
 
 from __future__ import annotations

@@ -185,12 +185,17 @@ class CrawlEngine:
         )
 
     def metrics_df(self) -> DataFrame | None:
+        import pandas as pd
+
         man = self.cat.manifest() or {}
         rows = [m for m in man.get("metrics", []) if m.get("dequeued", 0) > 0]
         if not rows:
             return None
+        # pandas → Arrow path: the DF is JVM-local, so downstream jobs over it
+        # never spawn a Python-runner task (a list-of-dicts createDataFrame
+        # cost ~4 s per tiny job in worker spin-up)
         return self.spark.createDataFrame(
-            [{k: m.get(k) for k in METRIC_KEYS} for m in rows]
+            pd.DataFrame([{k: m.get(k) for k in METRIC_KEYS} for m in rows])
         )
 
     # ------------------------------------------------------------------ setup
@@ -405,13 +410,31 @@ class CrawlEngine:
         return {**m, "terminated": next_n == 0, "timings": timings}
 
     def _finalize(self) -> None:
-        """Write the buffered per-round metrics as a table (A7 / north_rule
-        metrics requirement) — one job at termination instead of one per round."""
-        mdf = self.metrics_df()
-        if mdf is not None:
-            mdf.coalesce(1).write.mode("overwrite").parquet(
-                f"{self.cat.state_dir}/metrics_table"
-            )
+        """Write the buffered per-round metrics as a parquet table (A7 /
+        north_rule metrics requirement). The rows are driver-local (one per
+        round, buffered in the manifest), so this is a direct pyarrow write —
+        the previous 1-task Spark write of the same 3-row table cost ~4 s of
+        Python-worker spin-up per crawl, a pure serial tax on the scaling
+        curve."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        man = self.cat.manifest() or {}
+        rows = [m for m in man.get("metrics", []) if m.get("dequeued", 0) > 0]
+        if not rows:
+            return
+        out = f"{self.cat.state_dir}/metrics_table"
+        os.makedirs(out, exist_ok=True)
+        pdf = pd.DataFrame([{k: m.get(k) for k in METRIC_KEYS} for m in rows])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(out, "part-00000.parquet"),
+        )
+        # _SUCCESS marker so spark.read.parquet/RoundCatalog treat it as committed
+        open(os.path.join(out, "_SUCCESS"), "w").close()
 
     def run(self, resume: bool = False) -> list[dict]:
         """Run rounds until the frontier drains. ``resume=True`` continues

@@ -38,8 +38,18 @@ def main() -> None:
     ap.add_argument("--gen-hosts", type=int, default=100)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-depth", type=int, default=3)
-    ap.add_argument("--budget-per-host", type=int, default=None)
+    ap.add_argument("--budget-per-host", type=float, default=None)
+    ap.add_argument("--carryover", action="store_true",
+                    help="fractional per-host token carryover (ST5)")
     ap.add_argument("--blacklist", default="", help="comma-separated hosts")
+    ap.add_argument("--blacklist-www-variants", action="store_true",
+                    help="SO3: also blacklist each host's www-variant")
+    ap.add_argument("--blacklist-substrings", default="",
+                    help="P8: comma-separated bidirectional host substrings (explorer)")
+    ap.add_argument("--same-host", action="store_true",
+                    help="P9: keep only same-host links (sitemapper)")
+    ap.add_argument("--path-includes", default="",
+                    help="P10: comma-separated path substrings to include (tianalyser)")
     ap.add_argument("--validate", action="store_true", help="inline payload validation (X5)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--report", default=None, help="write the JSON crawl report here (S7)")
@@ -72,10 +82,18 @@ def main() -> None:
     seeds = spark.read.parquet(f"{args.web_dir}/seeds.parquet").select(
         "url", F.col("priority").cast("int").alias("priority")
     )
+    budget = args.budget_per_host
+    if budget is not None and not args.carryover:
+        budget = int(budget)
     cfg = CrawlConfig(
         max_depth=args.max_depth,
-        budget_per_host=args.budget_per_host,
+        budget_per_host=budget,
+        politeness_carryover=args.carryover,
         blacklist_hosts=tuple(h for h in args.blacklist.split(",") if h),
+        blacklist_www_variants=args.blacklist_www_variants,
+        blacklist_substrings=tuple(s for s in args.blacklist_substrings.split(",") if s),
+        scope_same_host=args.same_host,
+        scope_path_includes=tuple(p for p in args.path_includes.split(",") if p),
         validate=args.validate,
         gen_seed=args.seed,
     )
