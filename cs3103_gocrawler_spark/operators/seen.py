@@ -130,7 +130,8 @@ _STATE_SCHEMA = (
 )
 
 
-def build_round_state(df: DataFrame, bloom: Bloom) -> tuple[dict, int | None]:
+def build_round_state(df: DataFrame, bloom: Bloom,
+                      build_bloom: bool = True) -> tuple[dict, int | None]:
     """ONE Spark job that replaces the old full-result ``toPandas``: routes
     the round's (url_sha1, depth, outcome) by bloom segment, builds each
     segment's bitmap delta executor-side, and returns the per-outcome counts
@@ -138,7 +139,25 @@ def build_round_state(df: DataFrame, bloom: Bloom) -> tuple[dict, int | None]:
 
     Collected rows: ≤ S segment rows (bloom-sized) + ≤ S·|outcomes| stat rows
     — independent of the round's row count.
+
+    ``build_bloom=False`` (caller proved no future round will probe the
+    filter — frontier min-depth is monotone, so once min+1 exceeds the depth
+    cap it stays exceeded) skips the repartition + Python segment build and
+    computes the stats as a pure JVM aggregate.
     """
+    if not build_bloom:
+        counts: dict[str, int] = {}
+        min_depth: int | None = None
+        for r in (
+            df.groupBy("outcome")
+            .agg(F.count("*").alias("n"), F.min("depth").alias("d"))
+            .collect()
+        ):
+            counts[r["outcome"]] = int(r["n"])
+            d = int(r["d"])
+            min_depth = d if min_depth is None else min(min_depth, d)
+        return counts, min_depth
+
     s, m_seg, k = bloom.s, int(bloom.m_seg), bloom.k
     has_stats = "depth" in df.columns
     cols = ["url_sha1", "depth", "outcome"] if has_stats else ["url_sha1"]

@@ -141,6 +141,29 @@ class RoundCatalog:
             if f.endswith(".parquet")
         )
 
+    def column_min(self, kind: str, round_id: int, col: str):
+        """Column minimum from parquet row-group statistics — no Spark job
+        (Iceberg swap: lower_bounds in the manifest entries). None when the
+        table is empty or stats are absent."""
+        import pyarrow.parquet as pq
+
+        p = self.path(kind, round_id)
+        lo = None
+        for f in os.listdir(p):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(p, f))
+            try:
+                ci = md.schema.to_arrow_schema().get_field_index(col)
+            except KeyError:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+        return lo
+
     def drop_rounds_after(self, round_id: int) -> None:
         """Discard partial writes from rounds newer than the manifest (resume).
 

@@ -322,8 +322,20 @@ class CrawlEngine:
         # min-depth for the can-spawn check, AND the bloom segment deltas —
         # the driver receives bloom-sized segment rows, never per-URL rows
         # (seen.build_round_state; the old full-result toPandas was the
-        # serial fraction that flattened 8→32-core scaling to 0.361)
-        outcome_counts, min_depth = build_round_state(processed, self.bloom)
+        # serial fraction that flattened 8→32-core scaling to 0.361).
+        # Once the frontier's min depth (free from parquet footer stats) can
+        # no longer spawn, no future round probes the bloom — min-depth is
+        # monotone across rounds — so the segment build is skipped and the
+        # stats come from a pure JVM aggregate.
+        pending_min_depth = self.cat.column_min("frontier", r, "depth")
+        depth_cap_pre = cfg.max_depth - 1
+        bloom_needed = (
+            pending_min_depth is not None
+            and int(pending_min_depth) + 1 <= depth_cap_pre
+        )
+        outcome_counts, min_depth = build_round_state(
+            processed, self.bloom, build_bloom=bloom_needed
+        )
         _mark("round_state")
         dequeued_n = sum(outcome_counts.values())
 
