@@ -225,3 +225,56 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return sums.select(id_col, packed.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------- image axis
+
+def phash_neardup_pairs(images: DataFrame, id_col: str = "image_id",
+                        phash_col: str = "phash", max_hamming: int = 3,
+                        n_bands: int = 4) -> DataFrame:
+    """Image near-duplicate pairs via perceptual-hash banding: the 64-bit
+    phash (synthetic/imagecodec.phash64, the same sketch the X5 validator
+    recomputes) splits into ``n_bands`` 16-bit bands; candidates share at
+    least one exact band, then the exact Hamming distance (``bit_count`` of
+    the XOR — JVM-side, no Python) filters to ≤ ``max_hamming``.
+
+    Pigeonhole guarantee: with ``max_hamming < n_bands`` a qualifying pair
+    ALWAYS agrees on some band, so the banding is exact (recall 1.0), while
+    the join shuffles on (band_id, band_value) buckets instead of crossing
+    the corpus — the same LSH shape as the minhash band join. For larger
+    ``max_hamming`` it degrades gracefully into approximate recall
+    (standard simhash/phash practice)."""
+    bands = images.select(
+        F.col(id_col).alias("img"),
+        F.col(phash_col).alias("ph"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(phash_col), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                for b in range(n_bands)
+            ])
+        ).alias("band_id", "band_value"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_value") == F.col("r.band_value"))
+            & (F.col("l.img") < F.col("r.img")),
+        )
+        .select(
+            F.col("l.img").alias("id_a"), F.col("r.img").alias("id_b"),
+            F.col("l.ph").alias("ph_a"), F.col("r.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -253,3 +253,53 @@ def test_broadcast_join_chosen(spark):
     df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy("p_brand").count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Image-axis near-dup: banded phash join must equal brute-force Hamming
+    (pigeonhole-exact for max_hamming < n_bands)."""
+    from cs3103_gocrawler_spark.operators.dedup import phash_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**63), 2**63 - 1, size=20, dtype=np.int64)
+    rows = []
+    for i, b in enumerate(base):
+        rows.append({"image_id": f"img{i:03d}_0", "phash": int(b)})
+        # 1-3 bit-flipped variants = near dups; far images are random.
+        # Flip in the unsigned domain then re-sign — python ^ on a negative
+        # int with bit 63 escapes the int64 range before ingestion
+        flips = rng.choice(64, size=(i % 4), replace=False)
+        u = int(b) & ((1 << 64) - 1)
+        for f in flips:
+            u ^= 1 << int(f)
+        rows.append({
+            "image_id": f"img{i:03d}_1",
+            "phash": u - (1 << 64) if u >= (1 << 63) else u,
+        })
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    # brute force
+    want = set()
+    for a in rows:
+        for b in rows:
+            if a["image_id"] >= b["image_id"]:
+                continue
+            h = bin((a["phash"] ^ b["phash"]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((a["image_id"], b["image_id"], h))
+    assert got == want
+    assert len(want) >= 15  # the constructed variants are actually present
+
+
+def test_lang_id_cjk_and_profiles():
+    """The trigram heuristic's branches, incl. the CJK codepoint path the
+    ASCII testdata never exercises."""
+    from cs3103_gocrawler_spark.operators.textstats import lang_id_py
+
+    assert lang_id_py("这是一个中文文档 with some latin") == "zh"
+    assert lang_id_py("the thing and the other thing of note") == "en"
+    assert lang_id_py("la casa de la madre y el padre de ellos") == "es"
+    assert lang_id_py("") == "en"  # empty → initial best

@@ -158,3 +158,24 @@ def test_payload_columns_never_shuffle(spark, tiny_web):
         header = chunk.splitlines()[0]
         assert "body_html" not in header, plan
         assert "bytes" not in header, plan
+
+
+def test_embedding_neardup_lsh_no_cross_join(spark):
+    """The LSH near-dup path must join on buckets — never a cartesian or
+    nested-loop cross of the corpus (that is exactly what it replaces)."""
+    from cs3103_gocrawler_spark.operators.similarity import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_neardup_lsh(emb, threshold=0.3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phash_neardup_no_cross_join(spark, tiny_web):
+    from cs3103_gocrawler_spark.operators.dedup import phash_neardup_pairs
+
+    _cfg, web_dir = tiny_web
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    plan = _plan(phash_neardup_pairs(pages))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
