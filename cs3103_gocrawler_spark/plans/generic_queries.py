@@ -663,6 +663,50 @@ SELECT id_a, id_b, cosine FROM (
 WHERE cosine >= 0.3
 """
 
+# two deterministic rows per document: the base 60-bit hash as a pseudo-phash
+# and a variant XOR'd with a 3-bit mask (near-dup) or an 8-bit mask (far) —
+# so the banded join has real positives and negatives to separate
+_PH_NEAR_MASK = (1 << 0) | (1 << 5) | (1 << 20)          # hamming 3
+_PH_FAR_MASK = sum(1 << b for b in (1, 9, 17, 25, 33, 41, 49, 57))  # hamming 8
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Image-axis dedup shape: banded perceptual-hash near-dup join
+    (dedup.phash_neardup_pairs) over constructed pseudo-phashes."""
+    docs = _t(spark, sf_dir, "documents")
+    ph = dedup.hash64(F.col("text"))
+    mask = F.when(F.col("doc_id") % 3 == 0, F.lit(_PH_NEAR_MASK)).otherwise(
+        F.lit(_PH_FAR_MASK)
+    )
+    imgs = docs.select(
+        (F.col("doc_id") * 2).alias("image_id"), ph.alias("phash")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("image_id"),
+            ph.bitwiseXOR(mask).alias("phash"),
+        )
+    )
+    return dedup.phash_neardup_pairs(imgs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+SQL_PHASH_NEARDUP = f"""
+WITH base AS (SELECT doc_id, {_HASH_SQL.format(x='text')} AS ph FROM documents),
+imgs AS (
+  SELECT doc_id * 2 AS image_id, ph FROM base
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         xor(ph, CASE WHEN doc_id % 3 = 0 THEN {_PH_NEAR_MASK}
+                      ELSE {_PH_FAR_MASK} END)
+  FROM base)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 3
+"""
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """The scale path for embedding near-dup: LSH-bucketed candidates, exact
     cosine verify — shuffle key is the bucket, never a cross join."""
@@ -934,6 +978,7 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
+    "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
     "scrape_tables": (q_scrape_tables, SQL_SCRAPE_TABLES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, SQL_SIMILARITY_LSH_BUCKETED),
