@@ -112,3 +112,39 @@ def resize_images(df: DataFrame, id_col: str, bytes_col: str, fmt_col: str,
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(
         run, schema="id string, out_bytes binary, out_w int, out_h int"
     )
+
+
+FRAME_SCHEMA = "id string, frame_idx int, frame_bytes binary, n_frames int"
+
+
+def sample_frames(df: DataFrame, id_col: str, bytes_col: str,
+                  frame_size: int = 4096, every_k: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling as an Arrow-batched ``mapInPandas`` pass: the
+    opaque binary payload is treated as a sequence of fixed-size frames
+    (DETERMINISTIC STUB for a real container demuxer — ffmpeg is absent from
+    this container; the Spark-side plumbing — schema, fan-out shape, batch
+    memory profile — is the real contract). Emits every ``every_k``-th frame
+    up to ``max_frames`` per payload; payload bytes never leave the worker,
+    only the (much smaller) sampled frames return."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "frame_bytes": [], "n_frames": []}
+            for r in pdf.itertuples():
+                payload = bytes(getattr(r, bytes_col) or b"")
+                n = max(len(payload) // frame_size, 1)
+                taken = 0
+                for i in range(0, n, every_k):
+                    if taken >= max_frames:
+                        break
+                    out["id"].append(str(getattr(r, id_col)))
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(
+                        payload[i * frame_size:(i + 1) * frame_size]
+                    )
+                    out["n_frames"].append(n)
+                    taken += 1
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=FRAME_SCHEMA)

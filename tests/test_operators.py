@@ -303,3 +303,22 @@ def test_lang_id_cjk_and_profiles():
     assert lang_id_py("the thing and the other thing of note") == "en"
     assert lang_id_py("la casa de la madre y el padre de ellos") == "es"
     assert lang_id_py("") == "en"  # empty → initial best
+
+
+def test_sample_frames_plumbing(spark):
+    """Video frame-sample stub: deterministic fan-out, payload stays in the
+    worker (output rows carry only sampled frames)."""
+    from cs3103_gocrawler_spark.operators.multimodal import sample_frames
+
+    rows = [
+        {"vid": "a", "payload": bytes(range(256)) * 640},   # 40 frames of 4096
+        {"vid": "b", "payload": b"x" * 100},                # sub-frame payload
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = sample_frames(df, "vid", "payload").toPandas()
+    a = got[got.id == "a"].sort_values("frame_idx")
+    assert list(a["frame_idx"]) == [0, 10, 20, 30]
+    assert (a["n_frames"] == 40).all()
+    assert all(len(b) == 4096 for b in a["frame_bytes"])
+    b = got[got.id == "b"]
+    assert list(b["frame_idx"]) == [0] and int(b["n_frames"].iloc[0]) == 1
