@@ -55,6 +55,12 @@ CRAWL_SEED_MOD = 50
 CRAWL_BUDGET = 100
 CRAWL_DEPTH = 5
 CRAWL_MAX_ROUNDS = 6
+N_MEASURED = 1       # measured passes per worker invocation (best taken)
+N_CYCLES = 2         # worker invocations per level, spread in time: steal
+                     # windows on this host last minutes and throttle
+                     # higher-parallelism runs harder, so a single stolen
+                     # window systematically sinks the efficiency ratio;
+                     # best-per-level ACROSS separated cycles decorrelates it
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -145,9 +151,18 @@ def run_crawl_rounds(spark, web_dir: str, state_dir: str) -> dict:
     anti-join, and checkpoint commits all in the measured path."""
     from pyspark.sql import functions as F  # noqa: N812
 
+    from cs3103_gocrawler_spark.storage import register_bucketed_pages
     from cs3103_gocrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
 
-    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    # bucketed pages table: the payload side of the per-round fetch join must
+    # NOT re-shuffle its ~2.5 KB/row bodies every round — unbucketed, each
+    # round paid a ~2.5 GB exchange regardless of how few URLs it dequeued
+    tbl = register_bucketed_pages(
+        spark, f"{web_dir}/pages.parquet",
+        table_name="pages_" + os.path.basename(web_dir).replace(".", "_"),
+        n_buckets=64,
+    )
+    pages = spark.table(tbl)
     seeds = (
         pages.filter(F.pmod(F.xxhash64("image_id"), F.lit(CRAWL_SEED_MOD)) == 0)
         .select(F.col("image_id").alias("url"), F.lit(0).cast("int").alias("priority"))
@@ -203,13 +218,12 @@ def crawl_worker(cores: int, web_dir: str) -> dict:
             max_depth=1, budget_per_host=None, validate=True,
             instrument_bloom=False, bloom_capacity=1 << 22,
         )
-        # pass 0 warms JVM codegen + Python workers + page cache; passes 1-2
-        # are measured and the best is reported (this sandbox has noisy
-        # hypervisor steal — best-of-2 damps it; every pass is a full engine
-        # run on fresh state)
+        # pass 0 warms JVM codegen + Python workers + page cache; measured
+        # passes report the best (this sandbox has noisy hypervisor steal —
+        # best-of-N damps it; every pass is a full engine run on fresh state)
         eng = hist = None
         wall = float("inf")
-        for attempt in ("warm", "m1", "m2"):
+        for attempt in ["warm"] + [f"m{i}" for i in range(1, N_MEASURED + 1)]:
             state = os.path.join(CACHE, f"scale_state_{cores}_{attempt}")
             shutil.rmtree(state, ignore_errors=True)
             eng = CrawlEngine(spark, pages, cfg, state)
@@ -278,20 +292,42 @@ def main():
         spark.stop()
         workers = {}
         probes = {}
-        for cores in SCALING_LEVELS:
-            # probe the machine ceiling in the same steal window as the worker
-            probes[cores] = machine_probe_at(cores)
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--crawl-worker", str(cores), "--web-dir", scaling_web],
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
-            if not line:
-                scaling = {"error": p.stderr[-500:]}
+        cycles = []
+        failed = False
+        for _cycle in range(N_CYCLES):
+            cyc = {"workers": {}, "probes": {}}
+            for cores in SCALING_LEVELS:
+                # probe the machine ceiling in the same steal window as the
+                # worker; keep the best (least-stolen) probe per level
+                cyc["probes"][cores] = machine_probe_at(cores)
+                probes[cores] = max(probes.get(cores, 0.0), cyc["probes"][cores])
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--crawl-worker", str(cores), "--web-dir", scaling_web],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                line = [ln for ln in p.stdout.splitlines()
+                        if ln.startswith("WORKER_RESULT ")]
+                if not line:
+                    scaling = {"error": p.stderr[-500:]}
+                    failed = True
+                    break
+                res = json.loads(line[-1][len("WORKER_RESULT "):])
+                cyc["workers"][cores] = res["urls_per_sec"]
+                prev = workers.get(cores)
+                if prev is None or res["urls_per_sec"] > prev["urls_per_sec"]:
+                    workers[cores] = res
+            if failed:
                 break
-            workers[cores] = json.loads(line[-1][len("WORKER_RESULT "):])
-        if all(workers.get(c) for c in SCALING_LEVELS):
+            n_, n4_, _hi = SCALING_LEVELS
+            cyc["eff_n_4n"] = round(
+                cyc["workers"][n4_] / (4 * cyc["workers"][n_]), 3
+            )
+            cyc["probe_eff_n_4n"] = round(
+                cyc["probes"][n4_] / (4 * cyc["probes"][n_]), 3
+            )
+            cycles.append(cyc)
+        if not failed and all(workers.get(c) for c in SCALING_LEVELS):
             n, n4, hi = SCALING_LEVELS
             thr = {c: workers[c]["urls_per_sec"] for c in SCALING_LEVELS}
             ceiling = machine_cpu_scaling(SCALING_LEVELS, probes)
@@ -314,6 +350,14 @@ def main():
                 # pure-multiprocessing numpy probe: the best any CPU-bound
                 # job can scale on this host (hypervisor steal / clock)
                 "machine_cpu_ceiling": ceiling,
+                # time-coherent (same steal window) engine-vs-probe pairs,
+                # one per measurement cycle — lets a reader separate engine
+                # serialization from hypervisor throttling in THIS run
+                "per_cycle": [
+                    {"eff_n_4n": c["eff_n_4n"],
+                     "probe_eff_n_4n": c["probe_eff_n_4n"]}
+                    for c in cycles
+                ],
                 "identical_output": len(
                     {workers[c]["visited_digest"] for c in SCALING_LEVELS}
                 ) == 1,

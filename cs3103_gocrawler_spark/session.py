@@ -30,6 +30,13 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # exploit the bucketed pages table's per-bucket SORT order in the
+        # fetch SortMergeJoin: without this (off by default since 3.0) every
+        # round re-sorts the full payload side (~2.5 KB/row) before the
+        # join. Safe here: register_bucketed_pages writes exactly one file
+        # per bucket (repartition before bucketBy), the case the sorted-scan
+        # metadata requires.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Arrow batch sizing is a memory-vs-roundtrip tradeoff, and with wide
         # payload rows (image bytes + html, ~2.5 KB/row) memory wins: 64k-row
         # batches are ~160 MB in flight per task, which at 32 concurrent

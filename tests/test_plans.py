@@ -84,6 +84,10 @@ def test_bucketed_fetch_join_no_big_side_shuffle(spark, tiny_web):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, f"bucketed join should shuffle only one side:\n{plan}"
     assert scan_side is not None and before_scan is not None
+    # the payload side must not re-sort either: its bucket files are written
+    # sorted and session.py enables sorted-bucket-scan metadata — only the
+    # frontier side may carry a Sort
+    assert plan.count("Sort [") <= 1, f"payload side re-sorted:\n{plan}"
 
 
 def test_politeness_dequeue_partial_windows(spark):
