@@ -103,3 +103,34 @@ def stream_host_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    query_name: str = "deduped_events",
+):
+    """Streaming exact dedup — the continuous analog of the crawl's URL-seen
+    set (J1/SO1): ``dropDuplicates`` on the key with a watermark bounding the
+    dedup state (keys older than the watermark age out of the state store,
+    exactly how a production stream keeps the seen-set finite; the batch
+    crawl's equivalent bound is the bloom + visited table)."""
+    src = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates([key_col])
+        .select(key_col, ts_col, "event_type")
+    )
+    return (
+        src.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -153,3 +153,30 @@ def test_country_representation_roundtrip_ti_stats(spark):
             assert row["country"] == want["country"], (url, row["country"])
             assert row["representation"] == want["representation"]
             assert list(row["players"]) == want["players"], (url, want["country"])
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming dropDuplicates (watermarked seen-set analog) equals batch
+    distinct-on-key over the same input — including across duplicated files."""
+    import shutil
+
+    from cs3103_gocrawler_spark.streaming.events_stream import stream_dedup_events
+
+    sf = "/root/testdata/sf0.001"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events_dir = tmp_path / "dd_in"
+    events_dir.mkdir()
+    # two copies: every key arrives at least twice across micro-batch files
+    shutil.copy(f"{sf}/events.parquet", events_dir / "a.parquet")
+    shutil.copy(f"{sf}/events.parquet", events_dir / "b.parquet")
+    q = stream_dedup_events(
+        spark, str(events_dir), schema, str(tmp_path / "dd_ckpt")
+    )
+    q.awaitTermination(120)
+    got = spark.table("deduped_events").toPandas()
+    batch_n = spark.read.parquet(f"{sf}/events.parquet").select("event_id").distinct().count()
+    assert len(got) == batch_n
+    assert got["event_id"].is_unique
