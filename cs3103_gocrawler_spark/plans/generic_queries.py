@@ -815,13 +815,13 @@ p AS (
   FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
 """.format(
-    bucket_ctes="PLACEHOLDER_CTES",
+    bucket_ctes=_lsh_bucket_ctes(),
     cand_unions="\n    UNION ALL ".join(
         f"SELECT l.vec_id AS id_a, r.vec_id AS id_b "
         f"FROM bt{t} l JOIN bt{t} r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"
         for t in range(_LSH_N_TABLES)
     ),
-).replace("PLACEHOLDER_CTES", _lsh_bucket_ctes())
+)
 
 SQL_SIMILARITY_LSH_BUCKETED = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -841,7 +841,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM p)
 WHERE rank <= 5
 """.format(
-    bucket_ctes="PLACEHOLDER_CTES",
+    bucket_ctes=_lsh_bucket_ctes(),
     # multi-probe: the query side probes every bucket within Hamming distance
     # _LSH_PROBE_BITS of its signature (similarity.bucketed_cosine_topk)
     cand_unions="\n    UNION ALL ".join(
@@ -852,7 +852,7 @@ WHERE rank <= 5
         f"JOIN bt{t} n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id"
         for t in range(_LSH_N_TABLES)
     ),
-).replace("PLACEHOLDER_CTES", _lsh_bucket_ctes())
+)
 
 
 def q_scrape_tables(spark, sf_dir):
