@@ -265,3 +265,31 @@ def test_carryover_conformance_tiny(spark, tiny_web, tmp_path):
     )
     compare(eng, oracle)
     compare_metrics(history, oracle)
+
+
+def test_carryover_with_scope_interaction(spark, medium_web, tmp_path):
+    """Interaction coverage: fractional-carryover budgets combined with the
+    same-host scope — the host_state balances must track the scope-shrunken
+    frontier exactly as the oracle does."""
+    cfg_web, web_dir = medium_web
+    crawl_cfg = CrawlConfig(
+        max_depth=4,
+        budget_per_host=2.5,
+        politeness_carryover=True,
+        scope_same_host=True,
+        blacklist_hosts=cfg_web.blacklist_hosts,
+        gen_seed=cfg_web.seed,
+    )
+    eng, history = run_engine(
+        spark, cfg_web, web_dir, str(tmp_path / "state"), crawl_cfg
+    )
+    pages_pdf, edges_pdf = generate_pandas(cfg_web)
+    pages, links = pages_dict_from_pandas(pages_pdf, edges_pdf)
+    seeds = [(r.url, int(r.priority)) for r in seeds_for(cfg_web).itertuples()]
+    oracle = crawl_oracle(
+        pages, links, seeds, max_depth=4, budget_per_host=2.5,
+        blacklist=set(cfg_web.blacklist_hosts), carryover=True, same_host=True,
+        resp_seed=cfg_web.seed,
+    )
+    compare(eng, oracle)
+    compare_metrics(history, oracle)
