@@ -234,3 +234,79 @@ def bucketed_cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     pairs = cands.join(F.broadcast(vecs_q), "query_id").join(vecs_n, "neighbor_id")
     scored = with_cosine(pairs).drop("a_vec", "b_vec")
     return _exact_topk(scored, k)
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF coarse quantizer: deterministic "training" picks the
+    ``n_centroids`` lowest-id vectors as centroids (seedless, reproducible in
+    SQL); every vector is assigned to its max-cosine centroid (tie → lowest
+    centroid id). Returns (assigned_df with a ``cid`` column, centroid list).
+
+    The per-centroid cosines are folds against centroid LITERALS — the
+    centroid set is tiny driver-side state (the IVF codebook), exactly like
+    a trained quantizer shipped to executors; comparisons use the unrounded
+    doubles so the argmax is bit-stable across engines."""
+    import math
+
+    rows = emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    vnorm = _norm(F.col(vec_col))
+    structs = []
+    for cid, cv in cents:
+        arr = F.array(*[F.lit(x) for x in cv])
+        cn = math.sqrt(sum(x * x for x in cv))
+        cos = _dot(F.col(vec_col), F.slice(arr, 1, F.size(F.col(vec_col)))) / (
+            vnorm * F.lit(cn)
+        )
+        # struct max is lexicographic: max cosine, then max(-cid) = min cid
+        structs.append(F.struct(cos.alias("cc"), F.lit(-cid).alias("ncid")))
+    best = F.greatest(*structs)
+    assigned = emb.withColumn("cid", (-best.getField("ncid")).cast("long"))
+    return assigned, cents
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k — the inverted-file counterpart of the LSH path:
+    vectors partition into centroid buckets (the inverted lists); a query
+    scores only the lists of its ``nprobe`` nearest centroids. The candidate
+    join shuffles on ``cid`` — never a cross join; at scale the assignment
+    is a write-once column and the lists are cluster-partitioned storage."""
+    import math
+
+    assigned, cents = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    vnorm = _norm(F.col(vec_col))
+    probe_structs = []
+    for cid, cv in cents:
+        arr = F.array(*[F.lit(x) for x in cv])
+        cn = math.sqrt(sum(x * x for x in cv))
+        cos = _dot(F.col(vec_col), F.slice(arr, 1, F.size(F.col(vec_col)))) / (
+            vnorm * F.lit(cn)
+        )
+        # ascending array_sort key: (-cosine, cid)
+        probe_structs.append(F.struct((-cos).alias("nc"), F.lit(cid).alias("cid")))
+    probes = (
+        emb.filter(F.col(id_col) % query_mod == 0)
+        .withColumn("_ps", F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode("_ps").alias("_p"),
+        )
+        .select("query_id", F.col("_p.cid").alias("cid"))
+    )
+    lists = assigned.select(F.col(id_col).alias("neighbor_id"), "cid")
+    cands = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    pairs = cands.join(F.broadcast(q), "query_id").join(n, "neighbor_id")
+    scored = with_cosine(pairs).drop("a_vec", "b_vec")
+    return _exact_topk(scored, k)

@@ -855,6 +855,54 @@ WHERE rank <= 5
 )
 
 
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF ANN (inverted-file variant of the scale path): coarse-quantize to
+    the max-cosine centroid, probe the nprobe nearest inverted lists."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, query_mod=50,
+        n_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+    )
+
+
+# the twin recomputes the deterministic "training" (lowest-id centroids) and
+# the UNROUNDED assignment cosines; both engines evaluate the identical
+# float64 expression tree, so argmax/row_number agree bit-for-bit
+SQL_SIMILARITY_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v
+         WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CENTROIDS})),
+cc AS (SELECT v.vec_id, cent.cid,
+              list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * cent.ce[i]))
+              / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(cent.ce, x -> x * x)))) AS c
+       FROM v, cent),
+asn AS (SELECT vec_id AS neighbor_id, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+          FROM cc)
+        WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+          FROM cc WHERE vec_id % 50 = 0)
+        WHERE rn <= {_IVF_NPROBE}),
+cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+         FROM probe p JOIN asn a ON a.cid = p.cid AND a.neighbor_id <> p.query_id),
+p AS (SELECT c.query_id, c.neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine
+      FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p)
+WHERE rank <= 5
+"""
+
+
 def q_scrape_tables(spark, sf_dir):
     """X4 — tianalyser's HTML-table scrape
     (example/tianalyser/internal/tianalyser/tianalyser.go:80-118) as a
@@ -979,6 +1027,7 @@ QUERIES = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
+    "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_IVF),
     "scrape_tables": (q_scrape_tables, SQL_SCRAPE_TABLES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, SQL_SIMILARITY_LSH_BUCKETED),

@@ -322,3 +322,19 @@ def test_sample_frames_plumbing(spark):
     assert all(len(b) == 4096 for b in a["frame_bytes"])
     b = got[got.id == "b"]
     assert list(b["frame_idx"]) == [0] and int(b["n_frames"].iloc[0]) == 1
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF ANN: decent recall on clustered vectors; candidates come from
+    inverted-list joins (no cross join of the corpus)."""
+    from cs3103_gocrawler_spark.operators.similarity import ivf_topk
+
+    emb = _emb_df(spark, n=150)
+    exact = cosine_topk(emb, k=3, query_mod=50).toPandas()
+    approx_df = ivf_topk(emb, k=3, query_mod=50, n_centroids=6, nprobe=2)
+    approx = approx_df.toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
