@@ -53,6 +53,14 @@ def dequeue(
         ).drop("take")
         cap = F.col("_take")
     else:
+        if not float(budget_per_host).is_integer():
+            # fractional budgets only make sense with the carryover balance
+            # (host_takes path); the sequential oracle raises on urls[:2.5],
+            # so silently truncating here would diverge from it
+            raise TypeError(
+                f"fractional budget_per_host ({budget_per_host}) requires "
+                "the host_takes carryover path"
+            )
         cap = F.lit(int(budget_per_host))
 
     salt = F.pmod(F.col("url_sha1"), F.lit(salt_buckets))

@@ -143,8 +143,13 @@ class RoundCatalog:
 
     def column_min(self, kind: str, round_id: int, col: str):
         """Column minimum from parquet row-group statistics — no Spark job
-        (Iceberg swap: lower_bounds in the manifest entries). None when the
-        table is empty or stats are absent."""
+        (Iceberg swap: lower_bounds in the manifest entries).
+
+        Fails CLOSED: returns None (= "unknown") when the column is missing
+        (pyarrow's ``get_field_index`` returns -1, it does not raise) or when
+        ANY row group lacks min/max stats — a partial min over only the row
+        groups that happen to carry stats could overstate the true minimum,
+        and callers use this value to skip work (e.g. the bloom build gate)."""
         import pyarrow.parquet as pq
 
         p = self.path(kind, round_id)
@@ -153,14 +158,13 @@ class RoundCatalog:
             if not f.endswith(".parquet"):
                 continue
             md = pq.read_metadata(os.path.join(p, f))
-            try:
-                ci = md.schema.to_arrow_schema().get_field_index(col)
-            except KeyError:
+            ci = md.schema.to_arrow_schema().get_field_index(col)
+            if ci < 0:
                 return None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
-                    continue
+                    return None
                 lo = st.min if lo is None else min(lo, st.min)
         return lo
 

@@ -109,9 +109,34 @@ class CrawlConfig:
     bloom_segments: int = 32
     gen_seed: int = 42
     validate: bool = False
-    instrument_bloom: bool = True
+    # bloom-FP instrumentation costs one extra count() job per round over the
+    # maybe-seen survivors — opt-in diagnostics, not a production default
+    instrument_bloom: bool = False
     max_rounds: int = 10_000
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        b = self.budget_per_host
+        if b is None:
+            return
+        if self.politeness_carryover:
+            # balance is capped at one budget, so allowance = balance + b
+            # never reaches 1 when b < 0.5: every round would dequeue 0 and
+            # the engine would livelock through max_rounds of empty writes
+            if float(b) < 0.5:
+                raise ValueError(
+                    "politeness_carryover requires budget_per_host >= 0.5 "
+                    f"(got {b}): allowance floor(balance+budget) never "
+                    "reaches 1 below that — zero-dequeue livelock"
+                )
+        elif not float(b).is_integer():
+            # the sequential oracle raises TypeError on urls[:2.5]; silently
+            # truncating here would diverge from it
+            raise TypeError(
+                f"fractional budget_per_host ({b}) requires "
+                "politeness_carryover=True (without carryover the reference "
+                "semantics are an integer per-round take)"
+            )
 
 
 class CrawlEngine:
@@ -329,9 +354,13 @@ class CrawlEngine:
         # stats come from a pure JVM aggregate.
         pending_min_depth = self.cat.column_min("frontier", r, "depth")
         depth_cap_pre = cfg.max_depth - 1
+        # fail CLOSED when stats are unavailable (column_min → None on any
+        # stats-less row group): skipping the bloom build on an unknown min
+        # would leave this round's sha1s out of the filter while filter_unseen
+        # treats not-in-bloom as definitively unseen — re-crawled URLs
         bloom_needed = (
-            pending_min_depth is not None
-            and int(pending_min_depth) + 1 <= depth_cap_pre
+            pending_min_depth is None
+            or int(pending_min_depth) + 1 <= depth_cap_pre
         )
         outcome_counts, min_depth = build_round_state(
             processed, self.bloom, build_bloom=bloom_needed
@@ -440,6 +469,11 @@ class CrawlEngine:
             return
         out = f"{self.cat.state_dir}/metrics_table"
         os.makedirs(out, exist_ok=True)
+        # clear any previous finalize (incl. uuid-named part files from the
+        # old Spark overwrite path) — stale parts would duplicate metric rows
+        for f in os.listdir(out):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(out, f))
         pdf = pd.DataFrame([{k: m.get(k) for k in METRIC_KEYS} for m in rows])
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),

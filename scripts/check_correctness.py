@@ -87,9 +87,10 @@ def main():
     spark.stop()
     print(f"\n{n_bad} problem rows (no_oracle entries not counted as problems "
           f"unless they raise)")
-    sys.exit(1 if any(
-        r["err"] and r["err"] != "no_oracle" for r in results.values()
-    ) else 0)
+    # exit nonzero on ANY problem row — hash/row/schema mismatches included,
+    # not just raised exceptions (a BAD row is a broken query even when both
+    # engines ran to completion)
+    sys.exit(1 if n_bad > 0 else 0)
 
 
 if __name__ == "__main__":
