@@ -48,8 +48,11 @@ def dequeue(
         return pending, pending.limit(0)
 
     if host_takes is not None:
+        # hosts absent from host_takes fall back to the flat budget —
+        # unbounded when there is none (delay-capped dequeue with no budget)
+        default_take = (1 << 31) - 1 if budget_per_host is None else int(budget_per_host)
         pending = pending.join(host_takes, "host", "left").withColumn(
-            "_take", F.coalesce(F.col("take"), F.lit(int(budget_per_host or 0)))
+            "_take", F.coalesce(F.col("take"), F.lit(default_take))
         ).drop("take")
         cap = F.col("_take")
     else:

@@ -21,10 +21,22 @@ per-round build a *Spark job*, not a driver loop:
 Driver traffic per round is therefore O(filter size), independent of row
 count — the previous design collected every (url_sha1, depth, outcome) row
 into pandas, a multi-GB pull and a serial Amdahl fraction at 10^8-row rounds
-(measured: 8→32-core efficiency 0.361 vs a 1.017 machine ceiling). At true
-10^10 scale the same segment rows persist as a partitioned table and the
-probe becomes a co-partitioned join; segment routing already matches that
-layout.
+(measured: 8→32-core efficiency 0.361 vs a 1.017 machine ceiling).
+
+Two probe tiers exist behind ``filter_unseen``:
+
+broadcast  (default, small/medium filters) the driver ORs the segment deltas
+           into one bit array and broadcasts it; probing is a vectorized
+           pandas UDF. Broadcast volume = filter size per round — fine up to
+           a few hundred MB, pathological at north_rule scale (10^10 URLs at
+           fpr 1e-3 ≈ 17 GB).
+partitioned  (scale path) each round's segment rows are *written* as a
+           ``bloom_segments`` per-round delta table instead of collected; the
+           probe routes candidates by ``pmod(url_sha1, S)`` and cogroups them
+           with the segment bitmaps (``probe_with_segments``) — the bit array
+           never exists in driver memory and never crosses the driver at all.
+           Driver memory and broadcast volume are O(1) in visited-set size;
+           resume needs no bloom rebuild because the segment table persists.
 """
 
 from __future__ import annotations
@@ -131,7 +143,8 @@ _STATE_SCHEMA = (
 
 
 def build_round_state(df: DataFrame, bloom: Bloom,
-                      build_bloom: bool = True) -> tuple[dict, int | None]:
+                      build_bloom: bool = True,
+                      segments_sink: tuple | None = None) -> tuple[dict, int | None]:
     """ONE Spark job that replaces the old full-result ``toPandas``: routes
     the round's (url_sha1, depth, outcome) by bloom segment, builds each
     segment's bitmap delta executor-side, and returns the per-outcome counts
@@ -139,6 +152,13 @@ def build_round_state(df: DataFrame, bloom: Bloom,
 
     Collected rows: ≤ S segment rows (bloom-sized) + ≤ S·|outcomes| stat rows
     — independent of the round's row count.
+
+    ``segments_sink=(catalog, round_id)`` is the partitioned-probe scale
+    path: the segment bitmap rows are WRITTEN to the catalog's
+    ``bloom_segments`` delta table straight from the executors — the driver
+    reads back only the (narrow, bitmap-column-pruned) stat rows, so driver
+    traffic is O(S) stat rows and the bit arrays never reach it. The driver
+    ``bloom`` object is left untouched in this mode.
 
     ``build_bloom=False`` (caller proved no future round will probe the
     filter — frontier min-depth is monotone, so once min+1 exceeds the depth
@@ -197,10 +217,30 @@ def build_round_state(df: DataFrame, bloom: Bloom,
             out["min_depth"].append(min_depth)
         yield pd.DataFrame(out)
 
+    state = routed.mapInPandas(build, schema=_STATE_SCHEMA)
     counts: dict[str, int] = {}
     min_depth: int | None = None
+
+    if segments_sink is not None:
+        # scale path: bitmaps go executor→parquet, never through the driver;
+        # the stat read prunes the bitmap column and pushes seg IS NULL down
+        catalog, round_id = segments_sink
+        catalog.write(state, "bloom_segments", round_id)
+        stat_rows = (
+            catalog.read("bloom_segments", round_id)
+            .filter(F.col("seg").isNull())
+            .select("n_rows", "outcome", "min_depth")
+            .collect()
+        )
+        for r in stat_rows:
+            counts[r["outcome"]] = counts.get(r["outcome"], 0) + int(r["n_rows"])
+            if r["min_depth"] is not None:
+                d = int(r["min_depth"])
+                min_depth = d if min_depth is None else min(min_depth, d)
+        return counts, min_depth
+
     seg_rows = 0
-    for r in routed.mapInPandas(build, schema=_STATE_SCHEMA).collect():
+    for r in state.collect():
         if r["seg"] is not None:
             bloom.or_segment(int(r["seg"]), r["bitmap"], 0)
             seg_rows += 1
@@ -225,35 +265,104 @@ def build_bloom_distributed(df: DataFrame, bloom: Bloom) -> None:
         bloom.n_added += df.count()
 
 
+def probe_with_segments(
+    candidates: DataFrame,
+    segments: DataFrame,
+    m_seg: int,
+    k: int,
+    s: int,
+) -> DataFrame:
+    """Tier-1 probe against PERSISTED segment bitmaps — the scale path.
+
+    Routes candidates by ``pmod(url_sha1, S)`` and cogroups them with the
+    ``bloom_segments`` delta rows on the segment key: both sides shuffle on
+    the same key (the candidate side is the only large one; the segment side
+    is ≤ S rows per committed round), each task ORs its segment's per-round
+    deltas locally and probes its candidates vectorized. No driver-held bit
+    array, no ``sparkContext.broadcast`` — probe state lives where the rows
+    live, exactly the Iceberg-table layout the module docstring describes.
+
+    Returns ``candidates`` + a ``_maybe`` boolean column.
+    """
+    from pyspark.sql.types import BooleanType, StructField
+
+    out_fields = list(candidates.schema.fields) + [
+        StructField("_maybe", BooleanType())
+    ]
+    out_names = [f.name for f in candidates.schema.fields]
+    cand = candidates.withColumn(
+        "_seg", F.pmod(F.col("url_sha1"), F.lit(s)).cast("int")
+    )
+    segs = segments.filter(F.col("seg").isNotNull()).select(
+        F.col("seg").cast("int").alias("_seg"), "bitmap"
+    )
+    m = np.uint64(m_seg)
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        h = left["url_sha1"].to_numpy(dtype=np.int64)
+        if len(right) == 0 or len(h) == 0:
+            maybe = np.zeros(len(h), dtype=bool)
+        else:
+            bits = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8).copy()
+            for bm in right["bitmap"].iloc[1:]:
+                bits |= np.frombuffer(bm, dtype=np.uint8)
+            maybe = np.ones(len(h), dtype=bool)
+            for idx in _local_indices(h, m, k):
+                byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+                maybe &= (
+                    byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+                ) != 0
+        out = left[out_names].copy()
+        out["_maybe"] = maybe
+        return out
+
+    from pyspark.sql.types import StructType
+
+    return (
+        cand.groupBy("_seg")
+        .cogroup(segs.groupBy("_seg"))
+        .applyInPandas(probe, schema=StructType(out_fields))
+    )
+
+
 def filter_unseen(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame | None,
     bloom: Bloom | None,
+    segments: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (unseen_candidates, maybe_seen_survivors_for_fp_metric).
 
     ``candidates`` must carry ``url`` + ``url_sha1``; ``seen`` carries ``url``.
     The second return value is the bloom's false positives (rows the bloom
     flagged but the exact join proved unseen) — instrumentation for metrics.
+
+    ``segments`` (the persisted ``bloom_segments`` delta table) selects the
+    partitioned probe tier; ``bloom`` then only supplies the filter geometry
+    (m_seg, k, S) and its bit array is neither read nor broadcast.
     """
     if seen is None:
         return candidates, candidates.limit(0)
-    if bloom is None or bloom.n_added == 0:
+    if segments is not None and bloom is not None:
+        flagged = probe_with_segments(
+            candidates, segments, int(bloom.m_seg), bloom.k, bloom.s
+        )
+    elif bloom is None or bloom.n_added == 0:
         return candidates.join(seen.select("url"), "url", "left_anti"), candidates.limit(0)
+    else:
+        state = spark.sparkContext.broadcast(
+            (bloom.bits, int(bloom.m_seg), bloom.k, bloom.s)
+        )
 
-    state = spark.sparkContext.broadcast(
-        (bloom.bits, int(bloom.m_seg), bloom.k, bloom.s)
-    )
+        @F.pandas_udf("boolean")
+        def might_contain(h: pd.Series) -> pd.Series:
+            bits, m_seg, k, s = state.value
+            b = Bloom.__new__(Bloom)
+            b.bits, b.m_seg, b.k, b.s, b.n_added = bits, np.uint64(m_seg), k, s, 1
+            return pd.Series(b.might_contain(h.to_numpy(dtype=np.int64)))
 
-    @F.pandas_udf("boolean")
-    def might_contain(h: pd.Series) -> pd.Series:
-        bits, m_seg, k, s = state.value
-        b = Bloom.__new__(Bloom)
-        b.bits, b.m_seg, b.k, b.s, b.n_added = bits, np.uint64(m_seg), k, s, 1
-        return pd.Series(b.might_contain(h.to_numpy(dtype=np.int64)))
-
-    flagged = candidates.withColumn("_maybe", might_contain(F.col("url_sha1")))
+        flagged = candidates.withColumn("_maybe", might_contain(F.col("url_sha1")))
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     survivors = (
         flagged.filter(F.col("_maybe")).drop("_maybe")

@@ -98,6 +98,8 @@ def crawl_oracle(
     same_host: bool = False,
     path_includes: tuple[str, ...] = (),
     carryover: bool = False,
+    crawl_delays: dict[str, int] | None = None,
+    round_target_ms: int = 1000,
 ) -> OracleResult:
     """Run the sequential crawl.
 
@@ -137,13 +139,22 @@ def crawl_oracle(
         dequeued: list[tuple[str, str]] = []  # (host, url) in deterministic order
         for host in sorted(by_host):
             urls = sorted(by_host[host], key=lambda u: (pending[u][2], pending[u][0], u))
+            # robots crawl_delay cap (engine CrawlConfig.round_target_ms):
+            # a host pacing one request per d ms fits max(1, target//d)
+            # fetches into a round — the floor of 1 guarantees progress
+            cap = None
+            if crawl_delays:
+                dly = int(crawl_delays.get(host, 0) or 0)
+                if dly > 0:
+                    cap = max(1, round_target_ms // dly)
             if budget_per_host is None:
-                take = urls
+                take = urls if cap is None else urls[:cap]
             elif carryover:
                 allowance = balances.get(host, 0.0) + float(budget_per_host)
-                take = urls[: int(allowance)]  # floor
+                k = int(allowance)  # floor
+                take = urls[: k if cap is None else min(k, cap)]
             else:
-                take = urls[:budget_per_host]
+                take = urls[: budget_per_host if cap is None else min(budget_per_host, cap)]
             for u in take:
                 dequeued.append((host, u))
         if carryover and budget_per_host is not None:

@@ -106,6 +106,22 @@ class RoundCatalog:
         df.write.mode("overwrite").parquet(p)
         return p
 
+    def write_empty(self, kind: str, round_id: int, arrow_schema) -> str:
+        """Commit an empty table without a Spark job — a 1-task Spark write of
+        a provably-empty DataFrame still costs a full job round-trip (~0.5-1 s
+        of scheduler overhead), a pure serial tax on short rounds. The schema
+        must match what the Spark path would have written."""
+        import pyarrow.parquet as pq
+
+        p = self.path(kind, round_id)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p)
+        pq.write_table(
+            arrow_schema.empty_table(), os.path.join(p, "part-00000.parquet")
+        )
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        return p
+
     def read(self, kind: str, round_id: int) -> DataFrame:
         return self.spark.read.parquet(self.path(kind, round_id))
 

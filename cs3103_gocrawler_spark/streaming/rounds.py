@@ -43,7 +43,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..operators.canonicalize import with_canonical
@@ -56,6 +56,18 @@ from ..operators.seen import (
     build_round_state,
     filter_unseen,
 )
+
+_OUTCOMES = ("ok", "matcher", "fetch_error")
+
+
+def _frontier_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("url", pa.string()), ("host", pa.string()), ("path", pa.string()),
+        ("url_sha1", pa.int64()), ("depth", pa.int32()),
+        ("parent", pa.string()), ("priority", pa.int32()),
+    ])
 from ..operators.validate import VALIDATION_COL_NAMES
 from ..storage import RoundCatalog
 
@@ -85,6 +97,12 @@ class CrawlConfig:
     # fractional per-host budget balance carried across rounds via the
     # host_state table; budget 2.5 alternates 2- and 3-URL rounds
     politeness_carryover: bool = False
+    # robots crawl_delay consumption (north_rule politeness; no reference
+    # analog): a host with crawl_delay_ms=d may be fetched at most
+    # max(1, round_target_ms // d) times per round — the count a polite
+    # crawler pacing one request per d ms fits into a round's time target.
+    # The floor of 1 guarantees progress for hosts slower than the target.
+    round_target_ms: int = 1000
     max_retries: int = 3
     blacklist_hosts: tuple[str, ...] = ()
     # SO3: expand the blacklist with 'www.'-prefix variants both ways
@@ -107,6 +125,14 @@ class CrawlConfig:
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 1e-3
     bloom_segments: int = 32
+    # "broadcast": driver ORs segment deltas into one array and broadcasts it
+    #   per probing round — fine up to a few hundred MB of filter.
+    # "partitioned": the scale path — segment bitmaps persist as the
+    #   bloom_segments delta table and the probe is a co-partitioned cogroup
+    #   (seen.probe_with_segments); the bit array never exists driver-side
+    #   and resume needs no bloom rebuild. At north_rule scale (10^10 URLs,
+    #   fpr 1e-3 ≈ 17 GB of filter) this is the only viable mode.
+    bloom_mode: str = "broadcast"
     gen_seed: int = 42
     validate: bool = False
     # bloom-FP instrumentation costs one extra count() job per round over the
@@ -116,6 +142,8 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        if self.bloom_mode not in ("broadcast", "partitioned"):
+            raise ValueError(f"unknown bloom_mode: {self.bloom_mode!r}")
         b = self.budget_per_host
         if b is None:
             return
@@ -164,6 +192,21 @@ class CrawlEngine:
             if config.blacklist_www_variants
             else frozenset(config.blacklist_hosts)
         )
+        # (host, cap) dim from robots crawl_delay_ms — None when no host has
+        # a positive delay, so the default path pays no extra join
+        self._delay_caps = None
+        if robots is not None and "crawl_delay_ms" in robots.columns:
+            caps = robots.filter(F.col("crawl_delay_ms") > 0).select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.lit(config.round_target_ms) / F.col("crawl_delay_ms")
+                    ),
+                ).cast("int").alias("cap"),
+            )
+            if caps.limit(1).count() > 0:
+                self._delay_caps = caps
         self._extractor = config.extractor
         if self._extractor is None and (
             config.blacklist_substrings
@@ -309,14 +352,44 @@ class CrawlEngine:
             takes = allowance.select(
                 "host", F.floor("allowance").cast("int").alias("take")
             )
+            if self._delay_caps is not None:
+                # crawl_delay cap bounds the take; unspent allowance stays in
+                # the balance (up to one budget) via the host_state update
+                takes = takes.join(self._delay_caps, "host", "left").select(
+                    "host",
+                    F.least(
+                        F.col("take"), F.coalesce(F.col("cap"), F.col("take"))
+                    ).alias("take"),
+                )
             dequeued, deferred = dequeue(
                 pending, 0, cfg.salt_buckets, host_takes=takes
+            )
+        elif self._delay_caps is not None:
+            # per-host delay caps without carryover: delayed hosts take
+            # min(budget, cap); hosts without a delay fall back to the flat
+            # budget (dequeue's coalesce default; unbounded when budget=None)
+            allowance = None
+            b = cfg.budget_per_host
+            takes = self._delay_caps.select(
+                "host",
+                (F.least(F.lit(int(b)), F.col("cap")) if b is not None
+                 else F.col("cap")).alias("take"),
+            )
+            dequeued, deferred = dequeue(
+                pending, b, cfg.salt_buckets, host_takes=takes
             )
         else:
             allowance = None
             dequeued, deferred = dequeue(
                 pending, cfg.budget_per_host, cfg.salt_buckets
             )
+        # with no budget, no carryover and no delay caps, dequeue takes
+        # everything — the deferred side is pending.limit(0) by construction
+        deferred_static_empty = (
+            allowance is None
+            and cfg.budget_per_host is None
+            and self._delay_caps is None
+        )
 
         # fused fetch+enrich+extract(+validate): body/payload cross the
         # JVM↔Python pipe exactly once and are dropped inside the worker
@@ -338,20 +411,39 @@ class CrawlEngine:
                 F.pmod(F.xxhash64("host"), F.lit(cfg.n_host_buckets)).cast("int"),
             )
         )
+        # outcome counts + min depth ride the write job as observed metrics
+        # (accumulators) — zero extra Spark job; before this the round paid a
+        # dedicated stats job, a fixed serial tax that flattened the scaling
+        # curve at high core counts where the real work is short
+        obs = Observation(f"round_{r}")
+        processed = processed.observe(
+            obs,
+            F.min("depth").alias("min_depth"),
+            *[
+                F.sum(F.when(F.col("outcome") == o, 1).otherwise(0)).alias(o)
+                for o in _OUTCOMES
+            ],
+        )
         # the ONE expensive materialization of the round
         self.cat.write(processed, "fetched", r)
         _mark("fetch_extract_write")
+        stats = obs.get
+        outcome_counts = {
+            o: int(stats[o] or 0) for o in _OUTCOMES if stats[o]
+        }
+        min_depth = None if stats["min_depth"] is None else int(stats["min_depth"])
+        dequeued_n = sum(outcome_counts.values())
         processed = self.cat.read("fetched", r)
 
-        # executor-side round state: ONE job computes the outcome counts, the
-        # min-depth for the can-spawn check, AND the bloom segment deltas —
-        # the driver receives bloom-sized segment rows, never per-URL rows
-        # (seen.build_round_state; the old full-result toPandas was the
-        # serial fraction that flattened 8→32-core scaling to 0.361).
+        # executor-side bloom delta: routes the round's url_sha1s by segment
+        # and builds each segment's bitmap where the rows live — the driver
+        # receives bloom-sized segment rows (broadcast mode) or nothing at
+        # all (partitioned mode: bitmaps go executor→parquet and the probe
+        # cogroups against them). The old full-result toPandas here was the
+        # serial fraction that flattened 8→32-core scaling to 0.361.
         # Once the frontier's min depth (free from parquet footer stats) can
         # no longer spawn, no future round probes the bloom — min-depth is
-        # monotone across rounds — so the segment build is skipped and the
-        # stats come from a pure JVM aggregate.
+        # monotone across rounds — so the segment build is skipped entirely.
         pending_min_depth = self.cat.column_min("frontier", r, "depth")
         depth_cap_pre = cfg.max_depth - 1
         # fail CLOSED when stats are unavailable (column_min → None on any
@@ -362,11 +454,18 @@ class CrawlEngine:
             pending_min_depth is None
             or int(pending_min_depth) + 1 <= depth_cap_pre
         )
-        outcome_counts, min_depth = build_round_state(
-            processed, self.bloom, build_bloom=bloom_needed
-        )
+        if bloom_needed and dequeued_n > 0:
+            build_round_state(
+                processed.select("url_sha1"), self.bloom,
+                segments_sink=(
+                    (self.cat, r) if cfg.bloom_mode == "partitioned" else None
+                ),
+            )
+            if cfg.bloom_mode != "partitioned":
+                # the sha1-only build can't see row counts; mark the filter
+                # live for the probe path's n_added gate
+                self.bloom.n_added += dequeued_n
         _mark("round_state")
-        dequeued_n = sum(outcome_counts.values())
 
         if allowance is not None:
             # balance' = min(allowance − dequeued, budget) per host — the
@@ -416,14 +515,28 @@ class CrawlEngine:
             children = children.persist()
 
             seen_all = self.seen_urls(up_to_round=r)
-            unseen, bloom_fps = filter_unseen(self.spark, children, seen_all, self.bloom)
+            segments = (
+                self.cat.read_all("bloom_segments", up_to_round=r)
+                if self.cfg.bloom_mode == "partitioned"
+                else None
+            )
+            unseen, bloom_fps = filter_unseen(
+                self.spark, children, seen_all, self.bloom, segments=segments
+            )
             if cfg.instrument_bloom:
                 bloom_fp_n = bloom_fps.count()  # extra job: instrumentation only
             merged = unseen.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
         else:
             children = None
-            merged = deferred.select(*frontier_cols)
-        self.cat.write(self._min_merge(merged), "frontier", r + 1)
+            merged = None if deferred_static_empty else deferred.select(*frontier_cols)
+        if merged is None:
+            # nothing can reach frontier r+1 (no spawns, deferred provably
+            # empty): commit the empty table driver-side — a Spark write of
+            # an empty DF still costs a full job of scheduler overhead, which
+            # dominates the depth-capped final round of a saturated crawl
+            self.cat.write_empty("frontier", r + 1, _frontier_arrow_schema())
+        else:
+            self.cat.write(self._min_merge(merged), "frontier", r + 1)
         if children is not None:
             children.unpersist()
         _mark("frontier_write")
@@ -491,11 +604,18 @@ class CrawlEngine:
         start = man["last_round"] + 1
         if resume and start > 0:
             self.cat.drop_rounds_after(man["last_round"])
-            seen = self.fetched_df(up_to_round=man["last_round"])
-            if seen is not None:
-                # same executor-side segment build as the round path — the
-                # driver never pulls the seen sha1s
-                build_bloom_distributed(seen.select("url_sha1"), self.bloom)
+            if self.cfg.bloom_mode == "partitioned":
+                # nothing to rebuild: the bloom_segments delta table survived
+                # the restart and the probe reads it directly — resume cost
+                # is O(1) in visited-set size (vs the broadcast mode's full
+                # re-scan below)
+                pass
+            else:
+                seen = self.fetched_df(up_to_round=man["last_round"])
+                if seen is not None:
+                    # same executor-side segment build as the round path —
+                    # the driver never pulls the seen sha1s
+                    build_bloom_distributed(seen.select("url_sha1"), self.bloom)
         history: list[dict] = []
         for r in range(start, self.cfg.max_rounds):
             m = self._run_round(r)
