@@ -25,6 +25,8 @@ join (J6) in plans/report.py.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -32,6 +34,28 @@ from ..functions.backoff import total_retry_backoff_ms
 from ..synthetic.webgen import page_resp_ms
 
 PAYLOAD_COLS = ("bytes", "w", "h", "fmt", "caption", "phash")
+
+
+@dataclass(frozen=True)
+class HttpConfig:
+    """S2 live mode — the reference rhttp client options surface
+    (rhttpoption.go:18-47: WithTimeout / WithProxy / UA header;
+    rhttp.go:45-63 retry loop). One urllib opener per Python worker ≙ the
+    reference's single ``http.Client`` per crawler.
+
+    ``min_wait_ms``/``max_wait_ms`` default to the synthetic twin's frozen
+    constants (functions/backoff.py) rather than the reference's 1000/10000
+    defaults so live-mode and join-mode produce bit-identical
+    ``(attempts, backoff_ms)`` columns for the same status sequence.
+    ``sleep_scale`` scales the real sleeps (tests set ~0.01 — the *recorded*
+    backoff_ms stays unscaled)."""
+
+    timeout_s: float = 5.0
+    proxy: str | None = None
+    user_agent: str = "cs3103-gocrawler-spark/0.1"
+    min_wait_ms: int = 100
+    max_wait_ms: int = 1_000_000
+    sleep_scale: float = 1.0
 
 
 def fetch_process(
@@ -46,6 +70,8 @@ def fetch_process(
     validate: bool = False,
     gen_seed: int = 42,
     extractor=None,
+    http: HttpConfig | None = None,
+    matcher_names: tuple[str, ...] = ("html",),
 ) -> DataFrame:
     """The fused per-round fetch pipeline — fetch join + enrich + link
     extraction (+ inline payload validation) in ONE ``mapInPandas`` pass.
@@ -81,6 +107,18 @@ def fetch_process(
     if extractor is None:
         def extractor(u, b, _bl=blacklist):  # noqa: E731 — default extractor
             return extract_links_py(u, b, _bl)
+
+    if http is not None:
+        if validate:
+            raise ValueError(
+                "validate=True needs the synthetic payload columns; live "
+                "HTTP responses carry no reference payload to validate against"
+            )
+        return _live_fetch(
+            dequeued, http=http, matcher_names=matcher_names,
+            max_retries=max_retries, backoff_policy=backoff_policy,
+            extractor=extractor,
+        )
 
     cols = ["status", "content_type", "body_html"] + (
         list(PAYLOAD_COLS) if validate else []
@@ -163,5 +201,125 @@ def fetch_process(
             yield out[out_names]
 
     return joined.mapInPandas(process, schema=out_schema).withColumn(
+        "partition_id", F.spark_partition_id()
+    )
+
+
+def _live_fetch(
+    dequeued: DataFrame,
+    *,
+    http: HttpConfig,
+    matcher_names: tuple[str, ...],
+    max_retries: int,
+    backoff_policy: str,
+    extractor,
+) -> DataFrame:
+    """S2 real-HTTP branch behind ``fetch_process``'s signature: HTTP GETs
+    run inside the same ONE ``mapInPandas`` pass, one urllib opener per
+    Python worker reused across batches (reference: a single retrying
+    ``http.Client``, rhttp.go:29,45-63). Retry/backoff semantics mirror the
+    synthetic twin exactly — a 5xx burns ``max_retries`` retries with
+    policy+jitter waits keyed by URL (functions/backoff.py), a transport
+    error records ``attempts=max_retries+1, backoff_ms=0`` like a missing
+    page in join mode — so the two modes emit identical
+    ``(found, outcome, attempts, backoff_ms, links)`` for the same content.
+    ``resp_ms`` is the real wall time of the final attempt (the one column
+    that is measured, not derived).
+
+    Output schema = input + the same narrow columns join mode emits (minus
+    validation); the body is dropped inside the worker, exactly like the
+    synthetic path — only narrow columns return to the JVM.
+    """
+    from ..functions.backoff import exponential_backoff_ms, linear_backoff_ms
+    from .matchers import python_conjunction
+
+    in_names = [f.name for f in dequeued.schema.fields]
+    out_schema = ",".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in dequeued.schema.fields
+    ) + (
+        ",status int,content_type string,found boolean,outcome string"
+        ",resp_ms bigint,attempts int,backoff_ms bigint,links array<string>"
+    )
+    policy_fn = (
+        exponential_backoff_ms if backoff_policy == "exponential"
+        else linear_backoff_ms
+    )
+    match = python_conjunction(list(matcher_names))
+
+    def process(batches):
+        import time as _time
+        import urllib.error as _err
+        import urllib.request as _rq
+
+        handlers = []
+        if http.proxy:
+            handlers.append(
+                _rq.ProxyHandler({"http": http.proxy, "https": http.proxy})
+            )
+        opener = _rq.build_opener(*handlers)
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "status", "content_type", "found", "outcome",
+                    "resp_ms", "attempts", "backoff_ms", "links",
+                )
+            }
+            for url in pdf["url"]:
+                status = ctype = body = None
+                backoff_total = 0
+                attempts = 0
+                t_last = _time.monotonic()
+                for attempt in range(max_retries + 1):
+                    attempts = attempt + 1
+                    t_last = _time.monotonic()
+                    try:
+                        req = _rq.Request(
+                            url, headers={"User-Agent": http.user_agent}
+                        )
+                        with opener.open(req, timeout=http.timeout_s) as resp:
+                            status = resp.status
+                            ctype = resp.headers.get("Content-Type", "") or ""
+                            body = resp.read().decode("utf-8", "replace")
+                    except _err.HTTPError as e:
+                        # non-2xx: a real response — matcher decides outcome
+                        status = e.code
+                        ctype = (e.headers.get("Content-Type", "") or "") if e.headers else ""
+                        body = ""
+                    except Exception:
+                        status = None  # transport error (DNS/refused/timeout)
+                    if status is not None and status < 500:
+                        break
+                    if attempt < max_retries:
+                        wait = policy_fn(
+                            http.min_wait_ms, http.max_wait_ms, attempt, key=url
+                        )
+                        backoff_total += wait
+                        _time.sleep(wait * http.sleep_scale / 1000.0)
+                resp_ms = int((_time.monotonic() - t_last) * 1000)
+                found = status is not None
+                if not found:
+                    # join-mode parity for missing pages (fetch.process):
+                    # all retries burned, no recorded backoff/response time
+                    cols["status"].append(None)
+                    cols["content_type"].append(None)
+                    cols["found"].append(False)
+                    cols["outcome"].append("fetch_error")
+                    cols["resp_ms"].append(0)
+                    cols["attempts"].append(int(max_retries) + 1)
+                    cols["backoff_ms"].append(0)
+                    cols["links"].append(None)
+                    continue
+                ok = match(status, ctype)
+                cols["status"].append(int(status))
+                cols["content_type"].append(ctype)
+                cols["found"].append(True)
+                cols["outcome"].append("ok" if ok else "matcher")
+                cols["resp_ms"].append(resp_ms)
+                cols["attempts"].append(attempts)
+                cols["backoff_ms"].append(backoff_total)
+                cols["links"].append(extractor(url, body) if ok else None)
+            yield pdf[in_names].assign(**cols)
+
+    return dequeued.mapInPandas(process, schema=out_schema).withColumn(
         "partition_id", F.spark_partition_id()
     )

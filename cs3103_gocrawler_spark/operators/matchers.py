@@ -50,3 +50,26 @@ def conjunction(names: list[str]) -> Column:
     if not names:
         return is_noop_response()
     return reduce(and_, (_NAMED[n]() for n in names))
+
+
+_PY_NAMED = {
+    "noop": lambda s, ct: True,
+    "ok": lambda s, ct: s == 200,
+    "client_error": lambda s, ct: 400 <= s <= 499,
+    "server_error": lambda s, ct: s >= 500,
+    "html": lambda s, ct: s == 200 and "text/html" in (ct or ""),
+}
+
+
+def python_conjunction(names: list[str]):
+    """Live-fetch twin of ``conjunction``: the same P1-P6 predicates
+    (responsematcher.go:13-36) as a plain ``(status, content_type) -> bool``
+    callable. Live HTTP mode only learns status/headers inside the Python
+    fetch worker — after the Catalyst plan is fixed — so the matcher cannot
+    be a Column there; these lambdas are kept in lockstep with ``_NAMED``."""
+    fns = [_PY_NAMED[n] for n in names] or [_PY_NAMED["noop"]]
+
+    def match(status: int, content_type: str) -> bool:
+        return all(f(status, content_type) for f in fns)
+
+    return match

@@ -89,10 +89,24 @@ def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
-                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            max_rows: int = 100_000) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — the EXACT near-dup
     baseline. Inherently quadratic: verify-scale only (it is the oracle twin
-    of ``embedding_neardup_lsh``, which is the scale path)."""
+    of ``embedding_neardup_lsh``, which is the scale path).
+
+    ``max_rows`` makes that scoping self-enforcing: beyond it the quadratic
+    blow-up (and the full-side broadcast) cannot be what the caller wants,
+    so this raises instead of silently launching an O(n²) plan. Raise the
+    cap explicitly only for a deliberate offline verification run."""
+    n_rows = emb.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the O(n²) verify-scale baseline "
+            f"({n_rows} rows > max_rows={max_rows}); use "
+            "embedding_neardup_lsh for the bucketed scale path, or pass a "
+            "higher max_rows for a deliberate offline verification"
+        )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

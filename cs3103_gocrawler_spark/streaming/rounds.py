@@ -120,6 +120,11 @@ class CrawlConfig:
     # scope knobs above when set (reference LinkExtractor field)
     extractor: object | None = None
     matchers: tuple[str, ...] = ("html",)
+    # S2 live mode: an operators.fetch.HttpConfig switches the fused fetch
+    # pass from the synthetic-web join to real HTTP GETs (reference
+    # rhttp.go:45-63); pages may then be None. Tests drive it against a
+    # localhost fixture server.
+    http: object | None = None
     salt_buckets: int = 16
     n_host_buckets: int = 64
     bloom_capacity: int = 1 << 20
@@ -404,6 +409,8 @@ class CrawlEngine:
                 validate=cfg.validate,
                 gen_seed=cfg.gen_seed,
                 extractor=self._extractor,
+                http=cfg.http,
+                matcher_names=tuple(cfg.matchers),
             )
             .withColumn("round_id", F.lit(r))
             .withColumn(

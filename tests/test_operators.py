@@ -173,6 +173,20 @@ def test_embedding_neardup_lsh_subset_of_exact(spark):
     assert len(e) == 0 or len(a) / len(e) >= 0.5
 
 
+def test_embedding_neardup_pairs_size_guard(spark):
+    """The exact O(n²) baseline self-enforces its verify-scale scoping: past
+    max_rows it raises and points at the LSH scale path."""
+    import pytest as _pytest
+
+    from cs3103_gocrawler_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _emb_df(spark, n=120)
+    with _pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup_pairs(emb, max_rows=100)
+    # under the cap it still runs
+    assert embedding_neardup_pairs(emb, max_rows=200).count() >= 0
+
+
 def test_cosine_topk_broadcasts_query_side_only(spark):
     """Scale guard: the full neighbor set must never be the broadcast side —
     only the (1/query_mod) query subset."""

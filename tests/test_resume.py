@@ -55,6 +55,39 @@ def test_kill_and_resume_identical(spark, tiny_web, tmp_path):
     assert rounds_mod is not None
 
 
+def test_resume_under_carryover_identical(spark, tiny_web, tmp_path):
+    """Kill after round k of a politeness_carryover crawl, resume in a fresh
+    engine: the host_state balances retained by drop_rounds_after (r+1) must
+    reproduce the uninterrupted run exactly (VERDICT r2 missing #4)."""
+    cfg_web, web_dir = tiny_web
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+    cfg = CrawlConfig(max_depth=5, budget_per_host=1.5,
+                      politeness_carryover=True,
+                      blacklist_hosts=cfg_web.blacklist_hosts)
+
+    full = CrawlEngine(spark, pages, cfg, str(tmp_path / "cfull"))
+    full.init_frontier(seeds)
+    full.run()
+    want_visited, want_order = _state_fingerprint(full)
+
+    part = CrawlEngine(spark, pages, cfg, str(tmp_path / "cpart"))
+    part.init_frontier(seeds)
+    for r in range(2):
+        part._run_round(r)
+    # the balances for round 2 must exist and survive the resume cleanup
+    assert part.cat.exists("host_state", 2)
+
+    resumed = CrawlEngine(spark, pages, cfg, str(tmp_path / "cpart"))
+    history = resumed.run(resume=True)
+    assert history[0]["round_id"] == 2
+    assert resumed.cat.exists("host_state", 2)
+
+    got_visited, got_order = _state_fingerprint(resumed)
+    pd.testing.assert_frame_equal(got_visited, want_visited)
+    pd.testing.assert_frame_equal(got_order, want_order)
+
+
 def test_resume_discards_uncommitted_partials(spark, tiny_web, tmp_path):
     """A crash mid-round leaves partial tables newer than the manifest; resume
     must drop them and re-run the round (storage.drop_rounds_after)."""
