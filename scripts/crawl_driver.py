@@ -50,6 +50,11 @@ def main() -> None:
                     help="P9: keep only same-host links (sitemapper)")
     ap.add_argument("--path-includes", default="",
                     help="P10: comma-separated path substrings to include (tianalyser)")
+    ap.add_argument("--bloom-mode", choices=("broadcast", "partitioned"),
+                    default="broadcast",
+                    help="URL-seen probe tier: broadcast bit array (default) "
+                         "or the persisted-segment co-partitioned probe "
+                         "(scale path, O(1) driver memory)")
     ap.add_argument("--validate", action="store_true", help="inline payload validation (X5)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--report", default=None, help="write the JSON crawl report here (S7)")
@@ -96,6 +101,7 @@ def main() -> None:
         scope_path_includes=tuple(p for p in args.path_includes.split(",") if p),
         validate=args.validate,
         gen_seed=args.seed,
+        bloom_mode=args.bloom_mode,
     )
     eng = CrawlEngine(spark, pages, cfg, args.state_dir)
     t0 = time.monotonic()
