@@ -50,6 +50,12 @@ def main() -> None:
                     help="P9: keep only same-host links (sitemapper)")
     ap.add_argument("--path-includes", default="",
                     help="P10: comma-separated path substrings to include (tianalyser)")
+    ap.add_argument("--robots", action="store_true",
+                    help="enforce <web-dir>/robots.parquet: disallow-prefix "
+                         "gating + per-host crawl_delay_ms politeness caps")
+    ap.add_argument("--round-target-ms", type=int, default=1000,
+                    help="round time target for crawl_delay caps "
+                         "(take = max(1, target // delay))")
     ap.add_argument("--bloom-mode", choices=("broadcast", "partitioned"),
                     default="broadcast",
                     help="URL-seen probe tier: broadcast bit array (default) "
@@ -102,8 +108,12 @@ def main() -> None:
         validate=args.validate,
         gen_seed=args.seed,
         bloom_mode=args.bloom_mode,
+        round_target_ms=args.round_target_ms,
     )
-    eng = CrawlEngine(spark, pages, cfg, args.state_dir)
+    robots_df = (
+        spark.read.parquet(f"{args.web_dir}/robots.parquet") if args.robots else None
+    )
+    eng = CrawlEngine(spark, pages, cfg, args.state_dir, robots=robots_df)
     t0 = time.monotonic()
     if not args.resume:
         eng.init_frontier(seeds)

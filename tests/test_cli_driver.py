@@ -42,6 +42,32 @@ def _engine_report(spark, web_dir, tmp_path, cfg, name):
         return json.load(f)
 
 
+def test_cli_robots_gate(spark, tiny_web, tmp_path):
+    """--robots loads <web-dir>/robots.parquet: disallowed paths are dropped
+    at admission (never fetch_error'd), matching the engine-direct run."""
+    _, web_dir = tiny_web
+    report_path = str(tmp_path / "cli_robots.json")
+    summary = _run_cli(web_dir, str(tmp_path / "cli_state_robots"), report_path,
+                       ["--robots", "--max-depth", "4", "--budget-per-host", "3"])
+    assert summary["urls_dequeued"] > 0
+
+    pages = spark.read.parquet(f"{web_dir}/pages.parquet")
+    seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{web_dir}/robots.parquet")
+    eng = CrawlEngine(spark, pages, CrawlConfig(max_depth=4, budget_per_host=3),
+                      str(tmp_path / "eng_robots"), robots=robots)
+    eng.init_frontier(seeds)
+    eng.run()
+    path = str(tmp_path / "eng_robots.json")
+    write_report(eng, path, wall_sec=0.0, config={})
+    with open(report_path) as f:
+        cli_report = json.load(f)
+    with open(path) as f:
+        eng_report = json.load(f)
+    assert cli_report["network_info"] == eng_report["network_info"]
+    assert cli_report["page_info"] == eng_report["page_info"]
+
+
 @pytest.mark.parametrize(
     "name,cli,cfg_kw",
     [
