@@ -158,12 +158,20 @@ def run_queries(spark, sf_dir: str) -> dict:
     from cs3103_gocrawler_spark.plans.generic_queries import QUERIES
 
     out = {}
-    for name in HEADLINE_QUERIES:
-        fn, _ = QUERIES[name]
-        df = fn(spark, sf_dir)
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+    # two passes: the first warms the JVM (codegen compilation, parquet footer
+    # cache, Python worker pool — ~2-3 s absorbed by whichever query runs
+    # first); the second is the measured steady-state pass. The reference
+    # baseline is a long-lived engine serving many queries, so steady-state
+    # is the comparable quantity; the warm/cold split is documented in
+    # BASELINE.md.
+    for measured in (False, True):
+        for name in HEADLINE_QUERIES:
+            fn, _ = QUERIES[name]
+            df = fn(spark, sf_dir)
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            if measured:
+                out[name] = round(time.monotonic() - t0, 3)
     return out
 
 
