@@ -341,9 +341,14 @@ def _pair(lo: dict, hi: dict) -> dict:
             probe_lo = (pl["probe_before"] + pl["probe_after"]) / 2
             probe_hi = (ph["probe_before"] + ph["probe_after"]) / 2
             probe_eff = probe_hi / (4 * probe_lo)
+            eff = ph["urls_per_sec"] / (4 * pl["urls_per_sec"])
             cand = {
-                "eff": round(ph["urls_per_sec"] / (4 * pl["urls_per_sec"]), 3),
+                "eff": round(eff, 3),
                 "probe_eff": round(probe_eff, 3),
+                # engine efficiency re-expressed against what the machine
+                # itself delivered between the two windows — the physically
+                # meaningful quantity when the windows are unevenly stolen
+                "eff_norm": round(eff / probe_eff, 3),
                 "coherent": COHERENT_LO <= probe_eff <= COHERENT_HI,
                 "thr_n": pl["urls_per_sec"],
                 "thr_4n": ph["urls_per_sec"],
@@ -424,7 +429,15 @@ def run_scaling(scaling_web: str) -> dict:
         })
         best_head = _pair({"passes": all_passes[n1]}, {"passes": all_passes[n4]})
         best_sec = _pair({"passes": all_passes[n4]}, {"passes": all_passes[n16]})
-        head_ok = best_head["coherent"] and best_head["eff"] >= TARGET_EFF
+        # a super-linear headline (eff_norm > 1.1) means the N-side window
+        # was stolen harder than its probes admit (probes quantize steal
+        # coarsely over a 4x base): the gate would formally pass but the
+        # number isn't physically credible — keep cycling for a clean pair
+        head_ok = (
+            best_head["coherent"]
+            and best_head["eff"] >= TARGET_EFF
+            and best_head["eff_norm"] <= 1.1
+        )
         sec_ok = best_sec["coherent"] and best_sec["eff"] >= SECONDARY_FLOOR
         if (head_ok and sec_ok) or (
             time.monotonic() - t_start > SCALING_TIME_BUDGET_SEC
@@ -441,6 +454,7 @@ def run_scaling(scaling_web: str) -> dict:
         "urls_per_sec_4n": best_head["thr_4n"],
         "scaling_efficiency": best_head["eff"],
         "probe_eff_same_window": best_head["probe_eff"],
+        "eff_probe_normalized": best_head["eff_norm"],
         "time_coherent": best_head["coherent"],
         "pair_passes": {"n": best_head["pass_n"], "4n": best_head["pass_4n"]},
         "secondary_pair": {
@@ -450,6 +464,7 @@ def run_scaling(scaling_web: str) -> dict:
             "urls_per_sec_4n": best_sec["thr_4n"],
             "scaling_efficiency": best_sec["eff"],
             "probe_eff_same_window": best_sec["probe_eff"],
+            "eff_probe_normalized": best_sec["eff_norm"],
             "time_coherent": best_sec["coherent"],
             "pair_passes": {"n": best_sec["pass_n"], "4n": best_sec["pass_4n"]},
         },

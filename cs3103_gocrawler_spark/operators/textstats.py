@@ -92,6 +92,205 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_word_frac: float = 0.30,
+    max_top_word_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    duplicate-line fraction, duplicate-word fraction, and most-frequent-word
+    dominance per document, plus a keep flag at the standard thresholds
+    (duplicate lines > 30% or top-word share > 20% → drop).
+
+    Scale shape: the line-level stats are pure array built-ins (no shuffle);
+    the word-level stats are one explode + two hash aggregations with
+    map-side partials keyed by doc — no window, no collect_list buffer, so
+    executor memory stays O(batch) regardless of document length.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(lines).alias("_nl"),
+        F.size(F.array_distinct(lines)).alias("_ndl"),
+    )
+    # explode_outer keeps zero-word docs as a single NULL-word row; count(_w)
+    # ignores NULLs so those docs aggregate to n_words = 0, not 1
+    wc = (
+        base.select(
+            id_col, "_nl", "_ndl",
+            F.explode_outer(normalized_words(F.col(text_col))).alias("_w"),
+        )
+        .groupBy(id_col, "_nl", "_ndl", "_w")
+        .agg(F.count("_w").alias("_c"))
+    )
+    agg = wc.groupBy(id_col, "_nl", "_ndl").agg(
+        F.sum("_c").cast("long").alias("n_words"),
+        F.count(F.when(F.col("_c") > 0, 1)).cast("long").alias("n_distinct_words"),
+        F.max("_c").cast("long").alias("top_word_n"),
+    )
+    nl = F.greatest(F.col("_nl"), F.lit(1))
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    out = agg.select(
+        F.col(id_col),
+        F.col("_nl").cast("long").alias("n_lines"),
+        F.round((F.col("_nl") - F.col("_ndl")) / nl, 6).alias("dup_line_frac"),
+        F.col("n_words"),
+        F.round((F.col("n_words") - F.col("n_distinct_words")) / nw, 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_word_n") / nw, 6).alias("top_word_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_word_frac") <= max_top_word_frac)
+        ).cast("long"),
+    )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 2,
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal (Raffel et al. 2020 §2.2,
+    public): drop every trimmed non-empty line that occurs in more than
+    ``max_line_df`` documents corpus-wide (C4 removes lines occurring >= 3
+    times), then reassemble each document's remaining lines in order.
+
+    Scale shape: line document-frequency is one explode + a two-phase
+    (map-side partial) distinct-count aggregation keyed by line; the common
+    lines are a small set (by definition boilerplate is heavy-tailed) so AQE
+    turns the anti-join back into a broadcast join at runtime.
+    Reassembly sorts each document's own
+    surviving (pos, line) structs — buffer bounded by single-document length.
+    """
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    base = docs.select(
+        F.col(id_col), F.size(lines_arr).alias("n_lines"), lines_arr.alias("_lines")
+    )
+    lines = base.select(
+        id_col, F.posexplode("_lines").alias("pos", "line")
+    )
+    # document frequency per distinct line; approx_count_distinct would also
+    # do at 100 TB, but exact keeps the oracle twin bit-stable
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("line")
+    )
+    # no broadcast hint: the common-line set is usually tiny (boilerplate is
+    # heavy-tailed) but not bounded by construction — AQE converts the join
+    # to broadcast at runtime when the built side is actually small, without
+    # risking a forced driver-side build of an adversarially large set
+    kept = (
+        lines.join(common, "line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        base.select(id_col, "n_lines")
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# PII patterns (public-knowledge redaction classes per C4 / Dolma corpus
+# curation): kept to syntax valid and identical under both Java regex (Spark)
+# and RE2 (DuckDB) — no lookarounds, no backrefs
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses and phone-like digit runs, with per-class
+    counts (the standard pre-training PII scrub). All JVM-side regexp —
+    replacement order matters: emails first (may contain digit runs), then
+    IPs (dotted digits), then remaining long digit runs as phones.
+    """
+    emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), 0))
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        emails.cast("long").alias("n_emails"),
+        ips.cast("long").alias("n_ips"),
+        phones.cast("long").alias("n_phones"),
+        t3.alias("redacted_text"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_group: int = 50,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic per-group corpus sampling: the n_per_group documents
+    with the smallest (hash64(id), id) key in each group — a seedless,
+    rerun-stable stratified sample for training-data mixing.
+
+    Scale shape: the naive single window per group funnels each group (a
+    handful of sources over billions of docs) through ONE reducer; this is
+    the same salted two-phase rank as the politeness dequeue — phase 1 ranks
+    within (group, hash-salt bucket) across salt_buckets× more partitions and
+    keeps n per bucket, phase 2 ranks the surviving n×salt_buckets rows per
+    group. Result is exactly the global per-group top-n.
+    """
+    from pyspark.sql import Window
+
+    keyed = docs.withColumn("_h", hash64(F.col(id_col).cast("string"))).withColumn(
+        "_salt", F.pmod(F.col("_h"), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_h", id_col)
+    phase1 = (
+        keyed.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n_per_group)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        phase1.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .drop("_h")
+    )
+
+
 # ---------------------------------------------------------------- language ID
 _LANG_PROFILES = {
     # tiny public-knowledge character-trigram hint lists; the heuristic is the

@@ -638,6 +638,131 @@ FROM r
 """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """T21 — Gopher-style repetition filters over documents (dup-line /
+    dup-word fractions, top-word dominance, keep flag)."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# line-stat idiom shared by the twin: trimmed non-empty '\n' segments
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),"
+    " l -> l <> '')"
+)
+
+SQL_REPETITION_FILTER = f"""
+WITH lines AS (
+  SELECT doc_id,
+         len({_LINES_SQL}) AS nl,
+         len(list_distinct({_LINES_SQL})) AS ndl
+  FROM documents),
+w AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+wagg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_n
+  FROM wc GROUP BY doc_id),
+r AS (
+  SELECT l.doc_id,
+         CAST(l.nl AS BIGINT) AS n_lines,
+         round(CAST(l.nl - l.ndl AS DOUBLE) / greatest(l.nl, 1), 6)
+           AS dup_line_frac,
+         coalesce(a.n_words, 0) AS n_words,
+         round(CAST(coalesce(a.n_words, 0) - coalesce(a.n_distinct_words, 0)
+                    AS DOUBLE) / greatest(coalesce(a.n_words, 0), 1), 6)
+           AS dup_word_frac,
+         round(CAST(coalesce(a.top_word_n, 0) AS DOUBLE)
+               / greatest(coalesce(a.n_words, 0), 1), 6) AS top_word_frac
+  FROM lines l LEFT JOIN wagg a USING (doc_id))
+SELECT doc_id, n_lines, dup_line_frac, n_words, dup_word_frac, top_word_frac,
+       CAST(CASE WHEN dup_line_frac <= 0.30 AND dup_word_frac <= 0.30
+                  AND top_word_frac <= 0.20 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """T22 — C4-style corpus-wide boilerplate line removal."""
+    return textstats.boilerplate_strip(_t(spark, sf_dir, "documents"))
+
+
+SQL_BOILERPLATE_STRIP = f"""
+WITH base AS (
+  SELECT doc_id, {_LINES_SQL} AS la FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(range(1, len(la) + 1)) AS pos,
+         unnest(la) AS line
+  FROM base),
+common AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 2),
+kept AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM lines
+  WHERE line NOT IN (SELECT line FROM common)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(b.la) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """T23 — PII scrub with per-class counts (emails → IPs → phone runs)."""
+    return textstats.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+SQL_PII_REDACT = f"""
+WITH t1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g') AS r1
+  FROM documents),
+t2 AS (
+  SELECT doc_id, text, r1,
+         regexp_replace(r1, '{textstats.PII_IP_RE}', '<IP>', 'g') AS r2
+  FROM t1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(r1, '{textstats.PII_IP_RE}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(r2, '{textstats.PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(r2, '{textstats.PII_PHONE_RE}', '<PHONE>', 'g')
+         AS redacted_text
+FROM t2
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """T24 — deterministic per-source top-n sample (salted two-phase rank)."""
+    df = textstats.stratified_sample(
+        _t(spark, sf_dir, "documents"), group_col="source", n_per_group=50
+    )
+    return df.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH k AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            AS _h
+  FROM documents),
+r AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id)
+              AS BIGINT) AS sample_rank
+  FROM k)
+SELECT * FROM r WHERE sample_rank <= 50
+"""
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1058,6 +1183,10 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),

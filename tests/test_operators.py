@@ -352,3 +352,101 @@ def test_ivf_topk_recall_and_shape(spark):
     assert len(e & a) / len(e) >= 0.5
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher repetition filters: hand-computed fractions, empty-doc and
+    duplicate-heavy edge cases, keep-flag thresholds."""
+    from cs3103_gocrawler_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(pd.DataFrame([
+        # 3 lines, one duplicated; words: the,cat,sat,the,cat,the -> 6 words,
+        # 3 distinct, top=3x'the'
+        {"doc_id": "a", "text": "the cat sat\nthe cat\nthe cat sat"},
+        # clean doc: no dup lines, 6 distinct words (top share 1/6 < 0.2)
+        {"doc_id": "b", "text": "alpha beta gamma\ndelta epsilon zeta"},
+        # empty doc
+        {"doc_id": "c", "text": ""},
+        # single word repeated: top_word_frac = 1 -> dropped
+        {"doc_id": "d", "text": "spam spam spam spam"},
+    ]))
+    got = repetition_stats(docs).toPandas().set_index("doc_id")
+    a = got.loc["a"]
+    assert int(a["n_lines"]) == 3 and int(a["n_words"]) == 8
+    assert abs(a["dup_line_frac"] - 1 / 3) < 1e-6
+    assert abs(a["dup_word_frac"] - (8 - 3) / 8) < 1e-6
+    assert abs(a["top_word_frac"] - 3 / 8) < 1e-6
+    assert int(a["keep"]) == 0
+    b = got.loc["b"]
+    assert (b[["dup_line_frac", "dup_word_frac"]] == 0).all()
+    assert int(b["keep"]) == 1
+    c = got.loc["c"]
+    assert int(c["n_lines"]) == 0 and int(c["n_words"]) == 0
+    assert int(c["keep"]) == 1  # vacuously clean: zero-length, no repetition
+    d = got.loc["d"]
+    assert abs(d["top_word_frac"] - 1.0) < 1e-6 and int(d["keep"]) == 0
+
+
+def test_boilerplate_strip_semantics(spark):
+    """C4 boilerplate removal: lines in >2 docs dropped corpus-wide, order
+    preserved, fully-stripped and empty docs survive with empty text."""
+    from cs3103_gocrawler_spark.operators.textstats import boilerplate_strip
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": "a", "text": f"unique alpha\n{footer}\nunique omega"},
+        {"doc_id": "b", "text": f"{footer}\nshared pair"},
+        {"doc_id": "c", "text": f"shared pair\n{footer}"},
+        {"doc_id": "d", "text": footer},          # fully stripped
+        {"doc_id": "e", "text": ""},              # empty
+    ]))
+    got = boilerplate_strip(docs).toPandas().set_index("doc_id")
+    # footer appears in 4 docs (>2) -> removed; "shared pair" in 2 -> kept
+    assert got.loc["a", "clean_text"] == "unique alpha\nunique omega"
+    assert int(got.loc["a", "n_removed"]) == 1
+    assert got.loc["b", "clean_text"] == "shared pair"
+    assert got.loc["c", "clean_text"] == "shared pair"
+    assert got.loc["d", "clean_text"] == "" and int(got.loc["d", "n_removed"]) == 1
+    assert got.loc["e", "clean_text"] == "" and int(got.loc["e", "n_removed"]) == 0
+
+
+def test_pii_redact_semantics(spark):
+    from cs3103_gocrawler_spark.operators.textstats import pii_redact
+
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1,
+         "text": "mail me at jo.doe+x@example.co.uk or 10.0.255.7, "
+                 "call +1 (555) 123-4567 now"},
+        {"doc_id": 2, "text": "clean text with the number 42"},
+    ]))
+    got = pii_redact(docs).toPandas().set_index("doc_id")
+    r1 = got.loc[1]
+    assert (int(r1["n_emails"]), int(r1["n_ips"]), int(r1["n_phones"])) == (1, 1, 1)
+    assert r1["redacted_text"] == (
+        "mail me at <EMAIL> or <IP>, call <PHONE> now"
+    )
+    r2 = got.loc[2]
+    assert (int(r2["n_emails"]), int(r2["n_ips"]), int(r2["n_phones"])) == (0, 0, 0)
+    assert r2["redacted_text"] == "clean text with the number 42"
+
+
+def test_stratified_sample_exact_per_group_topn(spark):
+    """Salted two-phase sample == naive single-window per-group top-n."""
+    from cs3103_gocrawler_spark.operators.dedup import hash64
+    from cs3103_gocrawler_spark.operators.textstats import stratified_sample
+
+    pdf = pd.DataFrame({
+        "doc_id": range(200),
+        "source": [f"s{i % 3}" for i in range(200)],
+        "text": [f"doc {i}" for i in range(200)],
+    })
+    docs = spark.createDataFrame(pdf)
+    n = 7
+    got = stratified_sample(docs, group_col="source", n_per_group=n).toPandas()
+    keyed = docs.withColumn("_h", hash64(F.col("doc_id").cast("string"))).toPandas()
+    want = (
+        keyed.sort_values(["source", "_h", "doc_id"]).groupby("source").head(n)
+    )
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert got.groupby("source")["sample_rank"].max().eq(n).all()
+    assert set(got.columns) == {"doc_id", "source", "text", "sample_rank"}
