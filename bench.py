@@ -279,6 +279,12 @@ def crawl_worker(cores: int, web_dir: str) -> dict:
             shutil.rmtree(state, ignore_errors=True)
             eng = CrawlEngine(spark, pages, cfg, state)
             eng.init_frontier(warm_seeds if attempt == "warm" else seeds)
+            if attempt != "warm":
+                # re-warm before EVERY measured pass: if anything between
+                # passes evicted the table from the page cache, the re-read
+                # is seconds outside the measured window instead of an IO
+                # stall inside it (CPU probes cannot see IO stalls)
+                _prefetch_files(os.path.join(warehouse, tbl.lower()))
             probe_before = 0.0 if attempt == "warm" else machine_probe_at(cores)
             t0 = time.monotonic()
             h = eng.run()
@@ -286,6 +292,13 @@ def crawl_worker(cores: int, web_dir: str) -> dict:
             if attempt != "warm":
                 probe_after = machine_probe_at(cores)
                 n_pass = sum(x.get("dequeued", 0) for x in h)
+                # per-phase engine timings summed over the pass's rounds:
+                # a slow-but-probe-clean window is then attributable from
+                # the artifact alone (which phase ate the wall)
+                phase_sec: dict[str, float] = {}
+                for x in h:
+                    for k, v in x.get("timings", {}).items():
+                        phase_sec[k] = round(phase_sec.get(k, 0.0) + v, 3)
                 passes.append({
                     "wall_sec": round(w, 3),
                     "urls_per_sec": round(n_pass / w, 1),
@@ -295,6 +308,7 @@ def crawl_worker(cores: int, web_dir: str) -> dict:
                     # worker kills / page-cache eviction slow the engine
                     # without moving the probe) — record it alongside
                     "mem_avail_gb": _mem_available_gb(),
+                    "phase_sec": phase_sec,
                 })
                 hist = h
         n = sum(h.get("dequeued", 0) for h in hist)

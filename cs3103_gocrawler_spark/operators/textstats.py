@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql import types as T  # noqa: N812
 
-from .dedup import hash64, normalized_words
+from .dedup import hash64, normalized_words, word_shingles
 
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it", "on", "for")
 
@@ -288,6 +288,68 @@ def stratified_sample(
         phase1.withColumn("sample_rank", F.row_number().over(w2))
         .filter(F.col("sample_rank") <= n_per_group)
         .drop("_h")
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_k: int = 3,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination detection (public method: GPT-3, Brown et al.
+    2020 Appendix C; PaLM contamination analysis): per document, the fraction
+    of its distinct word ``shingle_k``-grams that also occur in any benchmark
+    text, with a flag at ``flag_threshold``.
+
+    Scale shape: eval benchmarks are KBs–MBs, so the distinct benchmark
+    shingle set is explicitly broadcast and the 100 TB corpus side streams
+    through one explode + broadcast-hash left join + one map-side-partial
+    aggregation keyed by doc — no shuffle of the corpus beyond the per-doc
+    rollup, no driver collect.
+    """
+    bench_shingles = (
+        benchmark.select(
+            F.explode(
+                word_shingles(normalized_words(F.col(bench_text_col)), shingle_k)
+            ).alias("shingle")
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # explode_outer keeps zero-shingle docs as one NULL row → n_shingles = 0
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.filter(
+                    word_shingles(normalized_words(F.col(text_col)), shingle_k),
+                    lambda s: s != "",
+                )
+            )
+        ).alias("shingle"),
+    )
+    agg = (
+        exploded.join(F.broadcast(bench_shingles), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("shingle").cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_overlap"),
+        )
+    )
+    frac = F.round(
+        F.col("n_overlap") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("n_overlap"),
+        frac.alias("contamination_frac"),
+        (frac >= flag_threshold).cast("long").alias("contaminated"),
     )
 
 

@@ -763,6 +763,47 @@ SELECT * FROM r WHERE sample_rank <= 50
 """
 
 
+def q_contamination_check(spark, sf_dir):
+    """T25 — benchmark-contamination detection: a deterministic 1/20th of
+    the corpus plays the benchmark; per-doc distinct-3-gram overlap frac."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(
+        F.pmod(dedup.hash64(F.col("doc_id").cast("string")), F.lit(20)) == 0
+    )
+    return textstats.contamination_check(docs, bench)
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [array_to_string(ws, ' ')] END) AS shingle
+    FROM words)
+  WHERE shingle <> ''),
+bench AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE {_HASH_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 20 = 0),
+agg AS (
+  SELECT d.doc_id,
+         CAST(count(s.shingle) AS BIGINT) AS n_shingles,
+         CAST(count(b.shingle) AS BIGINT) AS n_overlap
+  FROM documents d
+  LEFT JOIN sh s USING (doc_id)
+  LEFT JOIN bench b ON s.shingle = b.shingle
+  GROUP BY d.doc_id)
+SELECT doc_id, n_shingles, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / greatest(n_shingles, 1), 6)
+         AS contamination_frac,
+       CAST(CASE WHEN round(CAST(n_overlap AS DOUBLE) / greatest(n_shingles, 1), 6)
+                      >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM agg
+"""
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1187,6 +1228,7 @@ QUERIES = {
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),

@@ -430,6 +430,41 @@ def test_pii_redact_semantics(spark):
     assert r2["redacted_text"] == "clean text with the number 42"
 
 
+def test_contamination_check_semantics(spark):
+    """Hand-computed 3-gram overlap fractions; benchmark side must be a
+    broadcast join (corpus side streams)."""
+    from cs3103_gocrawler_spark.operators.textstats import contamination_check
+
+    bench = spark.createDataFrame(pd.DataFrame([
+        {"text": "the quick brown fox jumps"},
+    ]))
+    docs = spark.createDataFrame(pd.DataFrame([
+        # shingles: "the quick brown","quick brown fox","brown fox leaps",
+        # "fox leaps high" -> 2 of 4 in benchmark
+        {"doc_id": "a", "text": "The quick brown fox leaps high!"},
+        # shingles: "quick brown fox","brown fox jumps","fox jumps over"
+        # -> first two in benchmark
+        {"doc_id": "b", "text": "quick brown fox jumps over"},
+        # no overlap
+        {"doc_id": "c", "text": "completely unrelated words here"},
+        # short doc (< k words): single joined shingle, not in benchmark
+        {"doc_id": "d", "text": "quick brown"},
+        # empty doc
+        {"doc_id": "e", "text": ""},
+    ]))
+    out = contamination_check(docs, bench)
+    got = out.toPandas().set_index("doc_id")
+    assert (int(got.loc["a", "n_shingles"]), int(got.loc["a", "n_overlap"])) == (4, 2)
+    assert int(got.loc["a", "contaminated"]) == 1  # 0.5 >= threshold
+    assert (int(got.loc["b", "n_shingles"]), int(got.loc["b", "n_overlap"])) == (3, 2)
+    assert int(got.loc["b", "contaminated"]) == 1
+    assert int(got.loc["c", "n_overlap"]) == 0 and int(got.loc["c", "contaminated"]) == 0
+    assert (int(got.loc["d", "n_shingles"]), int(got.loc["d", "n_overlap"])) == (1, 0)
+    assert (int(got.loc["e", "n_shingles"]), int(got.loc["e", "contaminated"])) == (0, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_stratified_sample_exact_per_group_topn(spark):
     """Salted two-phase sample == naive single-window per-group top-n."""
     from cs3103_gocrawler_spark.operators.dedup import hash64
