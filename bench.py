@@ -457,6 +457,33 @@ def run_scaling(scaling_web: str) -> dict:
             time.monotonic() - t_start > SCALING_TIME_BUDGET_SEC
         ):
             break
+    # saturation attribution for the secondary pair: a mapInPandas task is a
+    # JVM thread PLUS a Python worker process, so local[32] on 32 vCPUs runs
+    # 64-wide — 2x oversubscribed — while local[16] runs exactly 32-wide. If
+    # 16 task slots already reach ~the 32-slot throughput, the 4N→16N
+    # shortfall is local-mode oversubscription (on a real cluster: set
+    # spark.task.cpus=2 for the fused fetch stage, or size executors at half
+    # the physical cores), not engine serialization.
+    saturation = {}
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--crawl-worker", "16", "--web-dir", scaling_web],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")]
+    if line:
+        res = json.loads(line[-1][len("WORKER_RESULT "):])
+        thr_16slots = res["urls_per_sec"]
+        thr_32slots = best_sec["thr_4n"]
+        saturation = {
+            "task_slots": 16,
+            "runnable_procs": 32,
+            "urls_per_sec": thr_16slots,
+            "wall_sec": res["wall_sec"],
+            "vs_32_slots": round(thr_16slots / thr_32slots, 3) if thr_32slots else None,
+            "note": "task = JVM thread + python worker; 16 slots = 32 runnable"
+                    " procs on 32 vCPUs (no oversubscription)",
+        }
     return {
         # headline pair — the BASELINE.json two-cluster-size criterion,
         # evidenced at two parallelism levels on the same input (sandbox
@@ -485,6 +512,7 @@ def run_scaling(scaling_web: str) -> dict:
         # pure-multiprocessing numpy probe: the best any CPU-bound job can
         # scale on this host (hypervisor steal / clock)
         "machine_cpu_ceiling": machine_cpu_scaling(SCALING_LEVELS, probes),
+        "saturation_probe": saturation,
         "per_cycle": cycles,
         "identical_output": len(digests) == 1,
         "urls": urls_total,
