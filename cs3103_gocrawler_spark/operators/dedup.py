@@ -206,6 +206,60 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
+                       b_col: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs — the canonical-selection
+    step after candidate generation: every document in a near-dup cluster is
+    labeled with the minimum doc id reachable in its component (the cluster
+    representative to keep). Public method: iterative hash-min label
+    propagation (the map-reduce CC family of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Scale shape: each iteration is one join on the node id + one min
+    aggregation (two shuffles over the EDGE set, which LSH banding already
+    bounded — not over the corpus); iterations = O(component diameter), and
+    near-dup clusters from banded LSH have tiny diameters, so the loop exits
+    in a handful of rounds via the changed-label early stop. Lineage is cut
+    per iteration with localCheckpoint so the plan does not grow with the
+    iteration count; genuinely iterative, hence driver-side loop by design.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("u", F.col("label").alias("_old")), "u")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            # fixpoint: label(u) <= label(v) across every (undirected) edge
+            # in both directions => labels constant per component = min id
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: bit b is the sign of Σ_tokens ±1 on bit b of the

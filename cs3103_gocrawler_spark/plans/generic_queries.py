@@ -550,6 +550,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 SQL_DEDUP_MINHASH_LSH = f"WITH {_SHINGLES_SQL} SELECT doc_a, doc_b FROM cand"
 
 
+def q_dedup_components(spark, sf_dir):
+    """T26 — near-dup cluster labeling: connected components (hash-min label
+    propagation) over the banded-LSH candidate pairs; label = min reachable
+    doc id = the cluster's canonical representative."""
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.neardup_components(pairs)
+
+
+# min-reachable-id per node via recursive closure — the same fixpoint the
+# Spark hash-min loop converges to
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
@@ -1220,6 +1244,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),

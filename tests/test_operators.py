@@ -430,6 +430,29 @@ def test_pii_redact_semantics(spark):
     assert r2["redacted_text"] == "clean text with the number 42"
 
 
+def test_neardup_components_chain_and_isolated(spark):
+    """Hash-min CC: a 5-node chain (needs multi-hop propagation), a separate
+    pair, and a triangle all get min-id labels; no cross-component bleed."""
+    from cs3103_gocrawler_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(pd.DataFrame([
+        # chain d9-d7-d5-d3-d1 given as adjacent pairs (worst case for
+        # propagation depth: min id at one end)
+        {"doc_a": "d9", "doc_b": "d7"}, {"doc_a": "d7", "doc_b": "d5"},
+        {"doc_a": "d5", "doc_b": "d3"}, {"doc_a": "d3", "doc_b": "d1"},
+        # separate pair
+        {"doc_a": "x2", "doc_b": "x8"},
+        # triangle with duplicate edge
+        {"doc_a": "t3", "doc_b": "t2"}, {"doc_a": "t2", "doc_b": "t1"},
+        {"doc_a": "t1", "doc_b": "t3"}, {"doc_a": "t2", "doc_b": "t3"},
+    ]))
+    got = neardup_components(pairs).toPandas().set_index("doc_id")["component"]
+    assert got.loc[["d1", "d3", "d5", "d7", "d9"]].eq("d1").all()
+    assert got.loc[["x2", "x8"]].eq("x2").all()
+    assert got.loc[["t1", "t2", "t3"]].eq("t1").all()
+    assert len(got) == 10
+
+
 def test_contamination_check_semantics(spark):
     """Hand-computed 3-gram overlap fractions; benchmark side must be a
     broadcast join (corpus side streams)."""
