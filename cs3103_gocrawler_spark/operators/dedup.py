@@ -260,6 +260,23 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component"))
 
 
+def neardup_filter(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The corpus after near-dup removal: drop every clustered document
+    except its component's canonical (min-id) representative; unclustered
+    documents pass through. The end-to-end curation composition:
+    candidate pairs → components → keep-list anti-join.
+
+    Scale shape: the drop-list is (cluster size − 1) per cluster — a tiny
+    fraction of the corpus — so the final left_anti join broadcasts it under
+    AQE; the corpus itself never shuffles here.
+    """
+    drop = neardup_components(pairs).filter(
+        F.col("doc_id") != F.col("component")
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: bit b is the sign of Σ_tokens ±1 on bit b of the

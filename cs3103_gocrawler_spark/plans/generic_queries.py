@@ -574,6 +574,29 @@ SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u
 """
 
 
+def q_dedup_filtered_corpus(spark, sf_dir):
+    """T27 — the corpus after near-dup removal: pairs → components →
+    drop non-canonical cluster members via an AQE-broadcast anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.neardup_filter(docs, dedup.minhash_lsh_pairs(docs))
+
+
+SQL_DEDUP_FILTERED_CORPUS = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u)
+SELECT d.* FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
@@ -1245,6 +1268,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_filtered_corpus": (q_dedup_filtered_corpus, SQL_DEDUP_FILTERED_CORPUS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),

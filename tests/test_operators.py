@@ -453,6 +453,21 @@ def test_neardup_components_chain_and_isolated(spark):
     assert len(got) == 10
 
 
+def test_neardup_filter_keeps_canonicals_and_unclustered(spark):
+    from cs3103_gocrawler_spark.operators.dedup import neardup_filter
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a1", "a2", "a3", "b1", "b2", "solo"],
+        "text": ["t"] * 6,
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame([
+        {"doc_a": "a2", "doc_b": "a1"}, {"doc_a": "a3", "doc_b": "a2"},
+        {"doc_a": "b1", "doc_b": "b2"},
+    ]))
+    kept = sorted(r.doc_id for r in neardup_filter(docs, pairs).collect())
+    assert kept == ["a1", "b1", "solo"]
+
+
 def test_contamination_check_semantics(spark):
     """Hand-computed 3-gram overlap fractions; benchmark side must be a
     broadcast join (corpus side streams)."""
