@@ -79,12 +79,27 @@ def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     the broadcast side; the full vector set streams and is never broadcast —
     broadcasting the neighbor side OOMs the moment the corpus outgrows one
     executor. Top-k selection is the two-phase skew-proof rank."""
+    # norms are per-ROW quantities: materialize them on each side before the
+    # join so the per-pair projection evaluates one O(dim) fold (the dot)
+    # instead of three — bit-identical result (the norm's float chain is
+    # unchanged, only hoisted), ~2/3 less HOF work per pair
     q = emb.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("a_vec"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    n = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    scored = with_cosine(pairs).drop("a_vec", "b_vec")
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("_na") * F.col("_nb")), 6
+        ),
+    ).drop("a_vec", "b_vec", "_na", "_nb")
     return _exact_topk(scored, k)
 
 
@@ -139,11 +154,20 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.95,
         )
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    # per-row norms hoisted ahead of the candidate join (see cosine_topk)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"),
+                   _norm(F.col(vec_col)).alias("_na"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"),
+                   _norm(F.col(vec_col)).alias("_nb"))
     pairs = cands.join(a, "id_a").join(b, "id_b")
     return (
-        with_cosine(pairs)
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
