@@ -48,6 +48,19 @@ def with_cosine(df: DataFrame, a: str = "a_vec", b: str = "b_vec",
     )
 
 
+def _score_hoisted(pairs: DataFrame) -> DataFrame:
+    """Cosine over pairs that carry pre-computed per-row norms (_na/_nb):
+    one O(dim) fold (the dot) per pair instead of three. Bit-identical to
+    with_cosine — the norm float chains are unchanged, only hoisted to the
+    per-row side of the join."""
+    return pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("_na") * F.col("_nb")), 6
+        ),
+    ).drop("a_vec", "b_vec", "_na", "_nb")
+
+
 def _exact_topk(scored: DataFrame, k: int) -> DataFrame:
     """Exact per-query top-k, skew-proof: phase 1 ranks within
     (query_id, physical partition) — any global top-k row is necessarily in
@@ -94,13 +107,7 @@ def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         _norm(F.col(vec_col)).alias("_nb"),
     )
     pairs = n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("_na") * F.col("_nb")), 6
-        ),
-    ).drop("a_vec", "b_vec", "_na", "_nb")
-    return _exact_topk(scored, k)
+    return _exact_topk(_score_hoisted(pairs), k)
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
@@ -161,13 +168,7 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.95,
                    _norm(F.col(vec_col)).alias("_nb"))
     pairs = cands.join(a, "id_a").join(b, "id_b")
     return (
-        pairs.withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("_na") * F.col("_nb")), 6
-            ),
-        )
+        _score_hoisted(pairs)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -266,12 +267,14 @@ def bucketed_cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
     vecs_q = emb.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
-    vecs_n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    vecs_n = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("b_vec"),
+                        _norm(F.col(vec_col)).alias("_nb"))
     pairs = cands.join(F.broadcast(vecs_q), "query_id").join(vecs_n, "neighbor_id")
-    scored = with_cosine(pairs).drop("a_vec", "b_vec")
-    return _exact_topk(scored, k)
+    return _exact_topk(_score_hoisted(pairs), k)
 
 
 def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
@@ -342,9 +345,11 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         .distinct()
     )
     q = emb.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a_vec"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
+    n = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("b_vec"),
+                   _norm(F.col(vec_col)).alias("_nb"))
     pairs = cands.join(F.broadcast(q), "query_id").join(n, "neighbor_id")
-    scored = with_cosine(pairs).drop("a_vec", "b_vec")
-    return _exact_topk(scored, k)
+    return _exact_topk(_score_hoisted(pairs), k)
