@@ -239,6 +239,7 @@ def _live_fetch(
     ) + (
         ",status int,content_type string,found boolean,outcome string"
         ",resp_ms bigint,attempts int,backoff_ms bigint,links array<string>"
+        ",remote_ip string"
     )
     policy_fn = (
         exponential_backoff_ms if backoff_policy == "exponential"
@@ -247,9 +248,11 @@ def _live_fetch(
     match = python_conjunction(list(matcher_names))
 
     def process(batches):
+        import socket as _socket
         import time as _time
         import urllib.error as _err
         import urllib.request as _rq
+        from urllib.parse import urlsplit as _urlsplit
 
         handlers = []
         if http.proxy:
@@ -257,14 +260,33 @@ def _live_fetch(
                 _rq.ProxyHandler({"http": http.proxy, "https": http.proxy})
             )
         opener = _rq.build_opener(*handlers)
+        # S5 live DNS (reference crawler.go:122-126 net.LookupIP): memoized
+        # per worker — each distinct host resolves once per worker process;
+        # lowest address for a deterministic report value
+        dns: dict[str, str | None] = {}
+
+        def _resolve(u: str) -> str | None:
+            try:
+                hostname = _urlsplit(u).hostname or ""
+            except ValueError:
+                return None
+            if hostname not in dns:
+                try:
+                    infos = _socket.getaddrinfo(hostname, None)
+                    dns[hostname] = sorted({i[4][0] for i in infos})[0]
+                except Exception:
+                    dns[hostname] = None
+            return dns[hostname]
+
         for pdf in batches:
             cols: dict[str, list] = {
                 k: [] for k in (
                     "status", "content_type", "found", "outcome",
-                    "resp_ms", "attempts", "backoff_ms", "links",
+                    "resp_ms", "attempts", "backoff_ms", "links", "remote_ip",
                 )
             }
             for url in pdf["url"]:
+                cols["remote_ip"].append(_resolve(url))
                 status = ctype = body = None
                 backoff_total = 0
                 attempts = 0

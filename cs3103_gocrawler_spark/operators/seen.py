@@ -94,8 +94,22 @@ class Bloom:
         m = max(64, int(-cap_seg * np.log(fpr) / (np.log(2) ** 2)))
         self.m_seg = np.uint64((m + 7) // 8 * 8)
         self.k = max(1, int(round(float(self.m_seg) / max(cap_seg, 1) * np.log(2))))
-        self.bits = np.zeros(int(self.m_seg) // 8 * self.s, dtype=np.uint8)
+        self._bits = None
         self.n_added = 0
+
+    @property
+    def bits(self) -> np.ndarray:
+        """Lazily allocated: an engine in partitioned probe mode only uses
+        the filter GEOMETRY (m_seg, k, s) — its bitmaps live in the
+        bloom_segments table, so the driver never materializes the array
+        (at north_rule scale, 10^10 keys at fpr 1e-3, that array is ~17 GB)."""
+        if self._bits is None:
+            self._bits = np.zeros(int(self.m_seg) // 8 * self.s, dtype=np.uint8)
+        return self._bits
+
+    @bits.setter
+    def bits(self, v) -> None:
+        self._bits = v
 
     @property
     def seg_bytes(self) -> int:
@@ -271,6 +285,7 @@ def probe_with_segments(
     m_seg: int,
     k: int,
     s: int,
+    probe_salt: int = 8,
 ) -> DataFrame:
     """Tier-1 probe against PERSISTED segment bitmaps — the scale path.
 
@@ -282,6 +297,17 @@ def probe_with_segments(
     array, no ``sparkContext.broadcast`` — probe state lives where the rows
     live, exactly the Iceberg-table layout the module docstring describes.
 
+    ``probe_salt`` bounds per-task candidate volume: cogrouping on the
+    segment alone caps parallelism at S keys AND materializes ~1/S of the
+    round's children as ONE pandas DataFrame per task — at 10^10-URL rounds
+    that is an executor-OOM shape. The candidate side therefore cogroups on
+    (segment, salt) where salt = pmod(xxhash64(url_sha1), probe_salt), and
+    each segment's (tiny, ≤ rounds·1 rows) bitmap side is replicated once
+    per salt bucket — S·probe_salt tasks, each holding 1/(S·probe_salt) of
+    the candidates plus one segment's bitmaps. The probe result is
+    salt-invariant (pure per-row membership), verified by the
+    partitioned≡broadcast conformance test at several salt values.
+
     Returns ``candidates`` + a ``_maybe`` boolean column.
     """
     from pyspark.sql.types import BooleanType, StructField
@@ -290,11 +316,23 @@ def probe_with_segments(
         StructField("_maybe", BooleanType())
     ]
     out_names = [f.name for f in candidates.schema.fields]
+    probe_salt = max(1, int(probe_salt))
     cand = candidates.withColumn(
         "_seg", F.pmod(F.col("url_sha1"), F.lit(s)).cast("int")
+    ).withColumn(
+        # xxhash64 of the sha1 is independent of pmod(sha1, s) — rows spread
+        # across salt buckets uniformly within every segment
+        "_salt", F.pmod(F.xxhash64(F.col("url_sha1")), F.lit(probe_salt)).cast("int")
     )
-    segs = segments.filter(F.col("seg").isNotNull()).select(
-        F.col("seg").cast("int").alias("_seg"), "bitmap"
+    segs = (
+        segments.filter(F.col("seg").isNotNull())
+        .select(F.col("seg").cast("int").alias("_seg"), "bitmap")
+        .withColumn(
+            # sequence of int literals explodes to int — matches the cast on
+            # the candidate side (a generator can't nest inside a cast)
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(probe_salt - 1))),
+        )
     )
     m = np.uint64(m_seg)
 
@@ -319,8 +357,8 @@ def probe_with_segments(
     from pyspark.sql.types import StructType
 
     return (
-        cand.groupBy("_seg")
-        .cogroup(segs.groupBy("_seg"))
+        cand.groupBy("_seg", "_salt")
+        .cogroup(segs.groupBy("_seg", "_salt"))
         .applyInPandas(probe, schema=StructType(out_fields))
     )
 
@@ -331,6 +369,7 @@ def filter_unseen(
     seen: DataFrame | None,
     bloom: Bloom | None,
     segments: DataFrame | None = None,
+    probe_salt: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (unseen_candidates, maybe_seen_survivors_for_fp_metric).
 
@@ -346,7 +385,8 @@ def filter_unseen(
         return candidates, candidates.limit(0)
     if segments is not None and bloom is not None:
         flagged = probe_with_segments(
-            candidates, segments, int(bloom.m_seg), bloom.k, bloom.s
+            candidates, segments, int(bloom.m_seg), bloom.k, bloom.s,
+            probe_salt=probe_salt,
         )
     elif bloom is None or bloom.n_added == 0:
         return candidates.join(seen.select("url"), "url", "left_anti"), candidates.limit(0)

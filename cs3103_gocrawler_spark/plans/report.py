@@ -80,9 +80,24 @@ def geo_dim(hosts: DataFrame, host_col: str = "host") -> DataFrame:
 def host_report_with_geo(spark: SparkSession, visited: DataFrame) -> DataFrame:
     """Host report enriched via broadcast dimension join (J6) — the RPC of
     the reference becomes a dimension join in the Spark design; the dim is
-    derived from the distinct hosts without any driver collect."""
+    derived from the distinct hosts without any driver collect.
+
+    Live mode (S5): when the visited view carries ``remote_ip`` (real
+    per-worker DNS resolution, crawler.go:122-126), the report's ip column
+    is that resolved address — the synthetic sha1-derived dim only stands in
+    when no live resolution exists. Geo fields stay null live: the
+    reference's ipapi.co enrichment is an external RPC this sandbox can't
+    reach, and fabricating locations for real IPs would be wrong."""
     rep = host_report(visited)
-    dim = geo_dim(rep.select("host").distinct())
+    if "remote_ip" in visited.columns:
+        dim = (
+            visited.groupBy("host")
+            .agg(F.min("remote_ip").alias("ip"))
+            .withColumn("location", F.lit(None).cast("string"))
+            .withColumn("as_number", F.lit(None).cast("string"))
+        )
+    else:
+        dim = geo_dim(rep.select("host").distinct())
     return rep.join(F.broadcast(dim), "host", "left")
 
 

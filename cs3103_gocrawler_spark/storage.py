@@ -188,14 +188,18 @@ class RoundCatalog:
         """Discard partial writes from rounds newer than the manifest (resume).
 
         ``frontier/r{N+1}`` (and ``host_state/r{N+1}``, the politeness token
-        balances) are round N's *outputs* (and round N+1's inputs), so those
-        tables keep one extra round; all other tables are per-round deltas of
-        round N itself."""
+        balances, and ``robots/r{N+1}``, the live-fetched rules for hosts
+        entering that frontier) are round N's *outputs* (and round N+1's
+        inputs), so those tables keep one extra round; all other tables are
+        per-round deltas of round N itself."""
         for kind in os.listdir(self.state_dir):
             base = os.path.join(self.state_dir, kind)
             if not os.path.isdir(base):
                 continue
-            keep_to = round_id + 1 if kind in ("frontier", "host_state") else round_id
+            keep_to = (
+                round_id + 1 if kind in ("frontier", "host_state", "robots")
+                else round_id
+            )
             for d in os.listdir(base):
                 if d.startswith("r") and int(d[1:]) > keep_to:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)

@@ -57,19 +57,26 @@ from ..operators.seen import (
     filter_unseen,
 )
 
-_OUTCOMES = ("ok", "matcher", "fetch_error")
-
-
-def _frontier_arrow_schema():
-    import pyarrow as pa
-
-    return pa.schema([
-        ("url", pa.string()), ("host", pa.string()), ("path", pa.string()),
-        ("url_sha1", pa.int64()), ("depth", pa.int32()),
-        ("parent", pa.string()), ("priority", pa.int32()),
-    ])
 from ..operators.validate import VALIDATION_COL_NAMES
 from ..storage import RoundCatalog
+
+_OUTCOMES = ("ok", "matcher", "fetch_error")
+
+# bloom_mode="auto" cutover: broadcast of the whole bit array per probing
+# round is fine up to a few hundred MB; past this the partitioned probe tier
+# is the only shape that doesn't ship the filter to every executor per round
+BROADCAST_SAFE_BLOOM_BYTES = 256 << 20
+
+
+def _frontier_arrow_schema(frontier_df):
+    """Arrow schema for driver-side empty-frontier commits, derived from the
+    ACTUAL frontier DataFrame — a hardcoded literal here once drifted from
+    engines constructed with e.g. long-typed seed priorities (createDataFrame
+    from Python ints bypassing the CLI's int32 cast), committing an
+    int32-priority terminal round into a long-priority table."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(frontier_df.schema)
 
 VISITED_COLS = [
     "url", "host", "path", "url_sha1", "depth", "parent", "priority", "links",
@@ -125,11 +132,20 @@ class CrawlConfig:
     # rhttp.go:45-63); pages may then be None. Tests drive it against a
     # localhost fixture server.
     http: object | None = None
+    # live robots (needs http): fetch+parse each host's /robots.txt into the
+    # same (host, disallow_prefixes, crawl_delay_ms) dim the engine already
+    # consumes — newly-seen hosts are fetched once per round via a
+    # mapInPandas delta and the dim persists as a catalog table (resume
+    # re-reads, never re-fetches)
+    live_robots: bool = False
     salt_buckets: int = 16
     n_host_buckets: int = 64
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 1e-3
     bloom_segments: int = 32
+    # "auto" (default): partitioned when the filter geometry
+    #   (seg_bytes × n_segments) exceeds BROADCAST_SAFE_BLOOM_BYTES,
+    #   broadcast otherwise — the scale-safe default.
     # "broadcast": driver ORs segment deltas into one array and broadcasts it
     #   per probing round — fine up to a few hundred MB of filter.
     # "partitioned": the scale path — segment bitmaps persist as the
@@ -137,7 +153,10 @@ class CrawlConfig:
     #   (seen.probe_with_segments); the bit array never exists driver-side
     #   and resume needs no bloom rebuild. At north_rule scale (10^10 URLs,
     #   fpr 1e-3 ≈ 17 GB of filter) this is the only viable mode.
-    bloom_mode: str = "broadcast"
+    bloom_mode: str = "auto"
+    # partitioned-probe cogroup salt: parallelism = n_segments × this, and
+    # per-task pandas buffer = candidates/(n_segments × this) (seen.py)
+    bloom_probe_salt: int = 8
     gen_seed: int = 42
     validate: bool = False
     # bloom-FP instrumentation costs one extra count() job per round over the
@@ -147,8 +166,14 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        if self.bloom_mode not in ("broadcast", "partitioned"):
+        if self.bloom_mode not in ("auto", "broadcast", "partitioned"):
             raise ValueError(f"unknown bloom_mode: {self.bloom_mode!r}")
+        if self.live_robots and self.http is None:
+            raise ValueError(
+                "live_robots=True requires an HttpConfig (robots.txt is "
+                "fetched over the same live-HTTP client); synthetic mode "
+                "passes the robots dim to CrawlEngine directly"
+            )
         b = self.budget_per_host
         if b is None:
             return
@@ -190,6 +215,21 @@ class CrawlEngine:
             config.bloom_capacity, config.bloom_fpr,
             n_segments=config.bloom_segments,
         )
+        # bloom_mode resolution (the "auto" cutover): the filter's total
+        # geometry decides whether a per-round broadcast of the bit array is
+        # affordable — the resolved mode (not the config string) is what the
+        # engine uses and what the manifest records for resume validation
+        self.bloom_mode = config.bloom_mode
+        if self.bloom_mode == "auto":
+            self.bloom_mode = (
+                "partitioned"
+                if self.bloom.seg_bytes * self.bloom.s > BROADCAST_SAFE_BLOOM_BYTES
+                else "broadcast"
+            )
+        # safety fallback (set on resume when persisted bloom state can't be
+        # trusted): skip the bloom tier entirely — every child goes through
+        # the exact anti-join, correct at any geometry, just shuffle-heavier
+        self._exact_only = False
         from ..operators.extract import expand_blacklist_www, make_scoped_extractor
 
         self._blacklist = (
@@ -197,21 +237,18 @@ class CrawlEngine:
             if config.blacklist_www_variants
             else frozenset(config.blacklist_hosts)
         )
+        if config.live_robots:
+            if robots is not None:
+                raise ValueError(
+                    "live_robots=True fetches the robots dim itself — don't "
+                    "also pass a static robots DataFrame"
+                )
+            # resume path: a previous run's accumulated robots dim persists
+            # as catalog deltas; re-read instead of re-fetching
+            self.robots = self.cat.read_all("robots")
         # (host, cap) dim from robots crawl_delay_ms — None when no host has
         # a positive delay, so the default path pays no extra join
-        self._delay_caps = None
-        if robots is not None and "crawl_delay_ms" in robots.columns:
-            caps = robots.filter(F.col("crawl_delay_ms") > 0).select(
-                "host",
-                F.greatest(
-                    F.lit(1),
-                    F.floor(
-                        F.lit(config.round_target_ms) / F.col("crawl_delay_ms")
-                    ),
-                ).cast("int").alias("cap"),
-            )
-            if caps.limit(1).count() > 0:
-                self._delay_caps = caps
+        self._delay_caps = self._delay_caps_from(self.robots)
         self._extractor = config.extractor
         if self._extractor is None and (
             config.blacklist_substrings
@@ -225,15 +262,51 @@ class CrawlEngine:
                 path_includes=tuple(config.scope_path_includes),
             )
 
+    def _delay_caps_from(self, robots: DataFrame | None) -> DataFrame | None:
+        """(host, cap) from robots crawl_delay_ms: a host with delay d may be
+        fetched max(1, round_target_ms // d) times per round (CrawlConfig
+        docstring). None when no host has a positive delay."""
+        if robots is None or "crawl_delay_ms" not in robots.columns:
+            return None
+        caps = robots.filter(F.col("crawl_delay_ms") > 0).select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(self.cfg.round_target_ms) / F.col("crawl_delay_ms")
+                ),
+            ).cast("int").alias("cap"),
+        )
+        return caps if caps.limit(1).count() > 0 else None
+
+    def _bloom_record(self) -> dict:
+        """Filter identity persisted in the manifest: probing persisted
+        segment bitmaps with a different geometry (m_seg, k, s) silently
+        treats every candidate as unseen — the resume path validates this
+        record before trusting the bloom_segments table."""
+        if self._exact_only:
+            return {"mode": "exact"}
+        return {
+            "mode": self.bloom_mode,
+            "m_seg": int(self.bloom.m_seg),
+            "k": int(self.bloom.k),
+            "s": int(self.bloom.s),
+        }
+
     # -------------------------------------------------------------- views
     def fetched_df(self, up_to_round: int | None = None) -> DataFrame | None:
         return self.cat.read_all("fetched", up_to_round)
 
     def visited_df(self, up_to_round: int | None = None) -> DataFrame | None:
         """The VisitedPageInfo table (crawler.go:31) — a filtered view of the
-        fetched deltas; parquet column pruning keeps reads narrow."""
+        fetched deltas; parquet column pruning keeps reads narrow.
+        ``remote_ip`` (live-mode DNS, S5) rides along when present — the
+        report's network_info then carries real resolved addresses."""
         f = self.fetched_df(up_to_round)
-        return None if f is None else f.filter(F.col("outcome") == "ok").select(*VISITED_COLS)
+        if f is None:
+            return None
+        cols = VISITED_COLS + (["remote_ip"] if "remote_ip" in f.columns else [])
+        return f.filter(F.col("outcome") == "ok").select(*cols)
 
     def rejected_df(self, up_to_round: int | None = None) -> DataFrame | None:
         f = self.fetched_df(up_to_round)
@@ -280,10 +353,12 @@ class CrawlEngine:
             .withColumn("depth", F.lit(0))
             .withColumn("parent", F.lit(""))
         )
+        if self.cfg.live_robots:
+            self._refresh_live_robots(f, 0)
         f = self._robots_gate(f)
         f = self._min_merge(f)
         self.cat.write(f, "frontier", 0)
-        self.cat.commit_round(-1, {"metrics": []})
+        self.cat.commit_round(-1, {"metrics": [], "bloom": self._bloom_record()})
 
     @staticmethod
     def _min_merge(df: DataFrame) -> DataFrame:
@@ -319,6 +394,63 @@ class CrawlEngine:
             )
         return ph.select("host", F.lit(b).alias("allowance"))
 
+    def _host_takes(self, r: int, pending: DataFrame):
+        """The single per-round link-budget builder (W2/ST5 + crawl_delay):
+        returns ``(host_takes, allowance, budget_arg)`` for the dequeue.
+
+        Composition order: the carryover allowance (balance + budget, ST5)
+        sets each host's take; the robots crawl_delay cap then BOUNDS it —
+        unspent allowance stays in the balance via the host_state update.
+        Without carryover, delayed hosts take min(budget, cap) and hosts
+        without a delay fall back to the flat budget (dequeue's coalesce
+        default; unbounded when budget is None). New politeness knobs compose
+        here once instead of forking the round loop."""
+        cfg = self.cfg
+        takes = allowance = None
+        budget_arg = cfg.budget_per_host
+        if cfg.politeness_carryover and cfg.budget_per_host is not None:
+            # token carryover (ST5): per-host allowance = balance + budget;
+            # floor dequeues now, the fraction persists in host_state.
+            # allowance covers every pending host (full join), so the
+            # absent-host default budget of 0 never actually fires
+            allowance = self._host_allowance(r, pending)
+            takes = allowance.select(
+                "host", F.floor("allowance").cast("int").alias("take")
+            )
+            budget_arg = 0
+        if self._delay_caps is not None:
+            if takes is not None:
+                takes = takes.join(self._delay_caps, "host", "left").select(
+                    "host",
+                    F.least(
+                        F.col("take"), F.coalesce(F.col("cap"), F.col("take"))
+                    ).alias("take"),
+                )
+            else:
+                b = cfg.budget_per_host
+                takes = self._delay_caps.select(
+                    "host",
+                    (F.least(F.lit(int(b)), F.col("cap")) if b is not None
+                     else F.col("cap")).alias("take"),
+                )
+        return takes, allowance, budget_arg
+
+    def _refresh_live_robots(self, urls_df: DataFrame, delta_round: int) -> None:
+        """Live mode: fetch robots.txt for hosts in ``urls_df`` not yet in
+        the accumulated robots dim, append the delta as catalog round
+        ``delta_round`` (= the round whose frontier those hosts may enter, so
+        resume's drop_rounds_after keeps exactly the rows the kept frontier
+        needs), and refresh the gate + crawl_delay caps."""
+        from ..operators.robots import fetch_robots
+
+        hosts = urls_df.groupBy("host").agg(F.min("url").alias("url_sample"))
+        known = self.cat.read_all("robots", up_to_round=delta_round - 1)
+        if known is not None:
+            hosts = hosts.join(known.select("host"), "host", "left_anti")
+        self.cat.write(fetch_robots(hosts, self.cfg.http), "robots", delta_round)
+        self.robots = self.cat.read_all("robots", up_to_round=delta_round)
+        self._delay_caps = self._delay_caps_from(self.robots)
+
     def _robots_gate(self, df: DataFrame) -> DataFrame:
         """Drop URLs whose path matches a disallow prefix for their host
         (north_rule robots gating; broadcast dim join — no reference analog)."""
@@ -350,51 +482,13 @@ class CrawlEngine:
         if pending_n == 0:
             return {"round_id": r, "pending": 0, "terminated": True}
 
-        if cfg.politeness_carryover and cfg.budget_per_host is not None:
-            # token carryover (ST5): per-host allowance = balance + budget;
-            # floor dequeues now, the fraction persists in host_state
-            allowance = self._host_allowance(r, pending)
-            takes = allowance.select(
-                "host", F.floor("allowance").cast("int").alias("take")
-            )
-            if self._delay_caps is not None:
-                # crawl_delay cap bounds the take; unspent allowance stays in
-                # the balance (up to one budget) via the host_state update
-                takes = takes.join(self._delay_caps, "host", "left").select(
-                    "host",
-                    F.least(
-                        F.col("take"), F.coalesce(F.col("cap"), F.col("take"))
-                    ).alias("take"),
-                )
-            dequeued, deferred = dequeue(
-                pending, 0, cfg.salt_buckets, host_takes=takes
-            )
-        elif self._delay_caps is not None:
-            # per-host delay caps without carryover: delayed hosts take
-            # min(budget, cap); hosts without a delay fall back to the flat
-            # budget (dequeue's coalesce default; unbounded when budget=None)
-            allowance = None
-            b = cfg.budget_per_host
-            takes = self._delay_caps.select(
-                "host",
-                (F.least(F.lit(int(b)), F.col("cap")) if b is not None
-                 else F.col("cap")).alias("take"),
-            )
-            dequeued, deferred = dequeue(
-                pending, b, cfg.salt_buckets, host_takes=takes
-            )
-        else:
-            allowance = None
-            dequeued, deferred = dequeue(
-                pending, cfg.budget_per_host, cfg.salt_buckets
-            )
+        takes, allowance, budget_arg = self._host_takes(r, pending)
+        dequeued, deferred = dequeue(
+            pending, budget_arg, cfg.salt_buckets, host_takes=takes
+        )
         # with no budget, no carryover and no delay caps, dequeue takes
         # everything — the deferred side is pending.limit(0) by construction
-        deferred_static_empty = (
-            allowance is None
-            and cfg.budget_per_host is None
-            and self._delay_caps is None
-        )
+        deferred_static_empty = takes is None and budget_arg is None
 
         # fused fetch+enrich+extract(+validate): body/payload cross the
         # JVM↔Python pipe exactly once and are dropped inside the worker
@@ -461,14 +555,14 @@ class CrawlEngine:
             pending_min_depth is None
             or int(pending_min_depth) + 1 <= depth_cap_pre
         )
-        if bloom_needed and dequeued_n > 0:
+        if bloom_needed and dequeued_n > 0 and not self._exact_only:
             build_round_state(
                 processed.select("url_sha1"), self.bloom,
                 segments_sink=(
-                    (self.cat, r) if cfg.bloom_mode == "partitioned" else None
+                    (self.cat, r) if self.bloom_mode == "partitioned" else None
                 ),
             )
-            if cfg.bloom_mode != "partitioned":
+            if self.bloom_mode != "partitioned":
                 # the sha1-only build can't see row counts; mark the filter
                 # live for the probe path's n_added gate
                 self.bloom.n_added += dequeued_n
@@ -513,6 +607,10 @@ class CrawlEngine:
                 )
             )
             children = with_canonical(children)  # idempotent; adds host/path/sha1
+            if cfg.live_robots:
+                # fetch rules for hosts first seen among this round's
+                # children BEFORE they are gated / enter frontier r+1
+                self._refresh_live_robots(children, r + 1)
             children = self._robots_gate(children)
             # persist: the bloom split consumes children in two branches
             # (definitely-new bypasses the anti-join shuffle, maybe-seen goes
@@ -524,11 +622,13 @@ class CrawlEngine:
             seen_all = self.seen_urls(up_to_round=r)
             segments = (
                 self.cat.read_all("bloom_segments", up_to_round=r)
-                if self.cfg.bloom_mode == "partitioned"
+                if self.bloom_mode == "partitioned" and not self._exact_only
                 else None
             )
             unseen, bloom_fps = filter_unseen(
-                self.spark, children, seen_all, self.bloom, segments=segments
+                self.spark, children, seen_all,
+                None if self._exact_only else self.bloom,
+                segments=segments, probe_salt=cfg.bloom_probe_salt,
             )
             if cfg.instrument_bloom:
                 bloom_fp_n = bloom_fps.count()  # extra job: instrumentation only
@@ -541,7 +641,7 @@ class CrawlEngine:
             # empty): commit the empty table driver-side — a Spark write of
             # an empty DF still costs a full job of scheduler overhead, which
             # dominates the depth-capped final round of a saturated crawl
-            self.cat.write_empty("frontier", r + 1, _frontier_arrow_schema())
+            self.cat.write_empty("frontier", r + 1, _frontier_arrow_schema(pending))
         else:
             self.cat.write(self._min_merge(merged), "frontier", r + 1)
         if children is not None:
@@ -566,7 +666,9 @@ class CrawlEngine:
         }
         man = self.cat.manifest() or {"metrics": []}
         metrics = [x for x in man.get("metrics", []) if x["round_id"] < r] + [m]
-        self.cat.commit_round(r, {"metrics": metrics})
+        self.cat.commit_round(
+            r, {"metrics": metrics, "bloom": self._bloom_record()}
+        )
         _mark("commit")
         return {**m, "terminated": next_n == 0, "timings": timings}
 
@@ -611,17 +713,42 @@ class CrawlEngine:
         start = man["last_round"] + 1
         if resume and start > 0:
             self.cat.drop_rounds_after(man["last_round"])
-            if self.cfg.bloom_mode == "partitioned":
-                # nothing to rebuild: the bloom_segments delta table survived
-                # the restart and the probe reads it directly — resume cost
-                # is O(1) in visited-set size (vs the broadcast mode's full
-                # re-scan below)
-                pass
+            if self.bloom_mode == "partitioned":
+                # the probe trusts the persisted bloom_segments table, so its
+                # recorded identity must match this engine's filter EXACTLY:
+                # probing old bitmaps with a different (m_seg, k, s) — or a
+                # table written by a broadcast-mode crawl, which never wrote
+                # segments at all — returns false "definitely unseen" verdicts
+                # that BYPASS the exact anti-join (re-crawled URLs, silent
+                # seen-set break)
+                rec = man.get("bloom")
+                cur = self._bloom_record()
+                if rec is None or rec.get("mode") == "exact":
+                    # pre-geometry-manifest checkpoint (or a crawl that
+                    # already fell back): segment coverage of rounds 0..N
+                    # cannot be proven — fall back to the exact anti-join,
+                    # correct at any geometry, for the rest of this crawl
+                    self._exact_only = True
+                elif rec != cur:
+                    raise RuntimeError(
+                        "bloom geometry mismatch on resume: checkpoint has "
+                        f"{rec}, this engine has {cur} — resume with the "
+                        "original bloom_mode/bloom_capacity/bloom_fpr/"
+                        "bloom_segments config (probing persisted segment "
+                        "bitmaps with a different geometry silently "
+                        "re-crawls seen URLs)"
+                    )
+                # else: nothing to rebuild — the bloom_segments delta table
+                # survived the restart and the probe reads it directly;
+                # resume cost is O(1) in visited-set size (vs the broadcast
+                # mode's full re-scan below)
             else:
                 seen = self.fetched_df(up_to_round=man["last_round"])
                 if seen is not None:
                     # same executor-side segment build as the round path —
-                    # the driver never pulls the seen sha1s
+                    # the driver never pulls the seen sha1s (geometry needs
+                    # no validation here: the rebuild uses THIS engine's
+                    # filter, not persisted bitmaps)
                     build_bloom_distributed(seen.select("url_sha1"), self.bloom)
         history: list[dict] = []
         for r in range(start, self.cfg.max_rounds):

@@ -56,11 +56,13 @@ def main() -> None:
     ap.add_argument("--round-target-ms", type=int, default=1000,
                     help="round time target for crawl_delay caps "
                          "(take = max(1, target // delay))")
-    ap.add_argument("--bloom-mode", choices=("broadcast", "partitioned"),
-                    default="broadcast",
-                    help="URL-seen probe tier: broadcast bit array (default) "
-                         "or the persisted-segment co-partitioned probe "
-                         "(scale path, O(1) driver memory)")
+    ap.add_argument("--bloom-mode", choices=("auto", "broadcast", "partitioned"),
+                    default="auto",
+                    help="URL-seen probe tier: broadcast bit array, the "
+                         "persisted-segment co-partitioned probe (scale "
+                         "path, O(1) driver memory), or auto (default) — "
+                         "partitioned once the filter outgrows a "
+                         "broadcast-safe ~256 MB")
     ap.add_argument("--validate", action="store_true", help="inline payload validation (X5)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--report", default=None, help="write the JSON crawl report here (S7)")
