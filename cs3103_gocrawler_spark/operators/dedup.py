@@ -207,7 +207,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
-                       b_col: str = "doc_b", max_iter: int = 20) -> DataFrame:
+                       b_col: str = "doc_b", max_iter: int = 20,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs — the canonical-selection
     step after candidate generation: every document in a near-dup cluster is
     labeled with the minimum doc id reachable in its component (the cluster
@@ -220,15 +221,53 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
     bounded — not over the corpus); iterations = O(component diameter), and
     near-dup clusters from banded LSH have tiny diameters, so the loop exits
     in a handful of rounds via the changed-label early stop. Lineage is cut
-    per iteration with localCheckpoint so the plan does not grow with the
-    iteration count; genuinely iterative, hence driver-side loop by design.
+    per iteration so the plan does not grow with the iteration count;
+    genuinely iterative, hence driver-side loop by design.
+
+    Fault tolerance is the ``checkpoint_dir`` trade-off: the default
+    ``localCheckpoint`` stores label blocks on executors — fast (no
+    filesystem round-trip) but any executor loss kills the job and the loop
+    restarts from scratch. With ``checkpoint_dir`` set, every iteration's
+    labels are committed as a parquet round snapshot (RoundCatalog manifest
+    = the atomic commit point), so the loop survives executor AND driver
+    loss: a re-invocation with the same dir resumes from the last committed
+    iteration (or returns the stored fixpoint outright), at the cost of one
+    parquet write per iteration. At 10^9-edge corpora, reliable checkpoints
+    are the only shape where a 30-iteration job isn't a restart lottery.
+
+    Raises ``RuntimeError`` when ``max_iter`` iterations still change labels
+    — a chain-shaped component with diameter > max_iter would otherwise get
+    silently non-minimal, mutually inconsistent labels (and a downstream
+    ``neardup_filter`` would keep several "canonical" docs per cluster).
     """
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    for _ in range(max_iter):
+    ).distinct()
+
+    def _out(lbl: DataFrame) -> DataFrame:
+        return lbl.select(
+            F.col("u").alias("doc_id"), F.col("label").alias("component")
+        )
+
+    cat = None
+    start, labels = 0, None
+    if checkpoint_dir is not None:
+        from ..storage import RoundCatalog
+
+        cat = RoundCatalog(pairs.sparkSession, checkpoint_dir)
+        man = cat.manifest()
+        if man is not None and man["last_round"] >= 0:
+            labels = cat.read("cc_labels", man["last_round"])
+            if man.get("converged"):
+                return _out(labels)
+            start = man["last_round"] + 1
+    else:
+        edges = edges.localCheckpoint(eager=True)
+    if labels is None:
+        labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+
+    for i in range(start, max_iter):
         nbr_min = (
             edges.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"
@@ -236,16 +275,20 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
             .groupBy("u")
             .agg(F.min("label").alias("_nbr"))
         )
-        new = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        new = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
+            ).alias("label"),
         )
+        if cat is not None:
+            # reliable lineage cut: labels land in parquet, THEN the changed
+            # probe runs over the committed files — the manifest only
+            # advances once the iteration is durable
+            cat.write(new, "cc_labels", i)
+            new = cat.read("cc_labels", i)
+        else:
+            new = new.localCheckpoint(eager=True)
         changed = (
             new.join(labels.select("u", F.col("label").alias("_old")), "u")
             .filter(F.col("label") != F.col("_old"))
@@ -253,15 +296,27 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
             .count()
         )
         labels = new
+        if cat is not None:
+            cat.commit_round(i, {"converged": changed == 0})
         if changed == 0:
             # fixpoint: label(u) <= label(v) across every (undirected) edge
             # in both directions => labels constant per component = min id
-            break
-    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component"))
+            return _out(labels)
+    raise RuntimeError(
+        f"neardup_components did not converge within max_iter={max_iter} "
+        "iterations — a near-dup chain has component diameter beyond that; "
+        "labels would be non-minimal and mutually inconsistent. Re-run with "
+        "a larger max_iter"
+        + (
+            " (the checkpoint_dir retains progress — the re-run resumes "
+            "from the last committed iteration)" if cat is not None else ""
+        )
+    )
 
 
 def neardup_filter(docs: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """The corpus after near-dup removal: drop every clustered document
     except its component's canonical (min-id) representative; unclustered
     documents pass through. The end-to-end curation composition:
@@ -271,7 +326,7 @@ def neardup_filter(docs: DataFrame, pairs: DataFrame,
     fraction of the corpus — so the final left_anti join broadcasts it under
     AQE; the corpus itself never shuffles here.
     """
-    drop = neardup_components(pairs).filter(
+    drop = neardup_components(pairs, checkpoint_dir=checkpoint_dir).filter(
         F.col("doc_id") != F.col("component")
     ).select(F.col("doc_id").alias(id_col))
     return docs.join(drop, id_col, "left_anti")

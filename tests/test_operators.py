@@ -4,6 +4,7 @@ similarity recall, multimodal plumbing, and physical-plan sanity
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F  # noqa: N812
 
 from cs3103_gocrawler_spark.functions.urlfuncs import sha1_64
@@ -523,3 +524,53 @@ def test_stratified_sample_exact_per_group_topn(spark):
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
     assert got.groupby("source")["sample_rank"].max().eq(n).all()
     assert set(got.columns) == {"doc_id", "source", "text", "sample_rank"}
+
+
+def test_neardup_components_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iter must raise, not return the
+    partial (mutually inconsistent) fixpoint (ADVICE r3)."""
+    from cs3103_gocrawler_spark.operators.dedup import neardup_components
+
+    chain = spark.createDataFrame(pd.DataFrame([
+        {"doc_a": f"c{i:02d}", "doc_b": f"c{i + 1:02d}"} for i in range(9)
+    ]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(chain, max_iter=2)
+    ok = neardup_components(chain, max_iter=20).toPandas()
+    assert (ok["component"] == "c00").all()
+
+
+def test_neardup_components_checkpoint_resume(spark, tmp_path):
+    """Reliable-checkpoint mode: an interrupted (max_iter-exhausted) run
+    leaves committed per-iteration labels; a re-invocation with the same dir
+    resumes from them instead of restarting, and a third call returns the
+    stored fixpoint without iterating."""
+    import json
+    import os
+
+    from cs3103_gocrawler_spark.operators.dedup import neardup_components
+
+    chain = spark.createDataFrame(pd.DataFrame([
+        {"doc_a": f"c{i:02d}", "doc_b": f"c{i + 1:02d}"} for i in range(7)
+    ]))
+    cc_dir = str(tmp_path / "cc")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(chain, max_iter=2, checkpoint_dir=cc_dir)
+    man_path = os.path.join(cc_dir, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    assert man["last_round"] == 1 and not man["converged"]
+
+    got = neardup_components(
+        chain, max_iter=20, checkpoint_dir=cc_dir
+    ).toPandas()
+    assert (got["component"] == "c00").all() and len(got) == 8
+    with open(man_path) as f:
+        man2 = json.load(f)
+    assert man2["converged"] and man2["last_round"] > 1
+
+    # converged manifest short-circuits: labels come straight from parquet
+    again = neardup_components(
+        chain, max_iter=1, checkpoint_dir=cc_dir
+    ).toPandas()
+    assert (again["component"] == "c00").all() and len(again) == 8
