@@ -183,3 +183,79 @@ def test_phash_neardup_no_cross_join(spark, tiny_web):
     plan = _plan(phash_neardup_pairs(pages))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# plan-fingerprint regression gates (VERDICT r3 task 9): pin the normalized
+# physical-plan shape of every headline query — a CollapseProject-style
+# regression (the 29 s → 2.1 s minhash trap, dedup.py docstring) changes
+# these counts long before anyone reruns the bench.
+# ---------------------------------------------------------------------------
+
+import re
+
+_NODE_RE = re.compile(r"^[\s:+\-*()0-9]*([A-Z][A-Za-z]+)")
+_FP_KEYS = (
+    "Exchange", "ReusedExchange", "Sort", "SortMergeJoin", "BroadcastHashJoin",
+    "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+    "ArrowEvalPython", "MapInPandas", "FlatMapCoGroupsInPandas", "Window",
+    "WindowGroupLimit", "RunningWindowFunction", "Generate", "HashAggregate",
+    "ObjectHashAggregate", "SortAggregate",
+)
+
+# pinned at round 4; regenerate CONSCIOUSLY with scripts in the test body if
+# a plan improvement changes a count (a silent increase in Exchange/Sort/
+# Python-eval nodes is exactly what this gate exists to catch)
+PLAN_FINGERPRINTS = {
+    "broadcast_dim_join": {"BroadcastHashJoin": 1, "Exchange": 1, "HashAggregate": 2},
+    "cosine_topk": {"BroadcastNestedLoopJoin": 1, "Exchange": 2, "Sort": 4,
+                    "Window": 2, "WindowGroupLimit": 4},
+    "dedup_minhash_lsh": {"BroadcastHashJoin": 1, "Exchange": 2, "Generate": 4,
+                          "HashAggregate": 6},
+    "edge_explode_tokens": {"Exchange": 1, "Generate": 1, "HashAggregate": 2},
+    "event_window_agg": {"Exchange": 1, "HashAggregate": 2},
+    "host_aggregate": {"Exchange": 2, "ObjectHashAggregate": 4},
+    "politeness_rank_dequeue": {"Exchange": 1, "Sort": 2, "Window": 1,
+                                "WindowGroupLimit": 2},
+    # pure narrow projection: NO shuffle, NO Python eval, NO aggregate —
+    # the empty dict is the assertion
+    "quality_scores": {},
+    "window_topk_per_group": {"Exchange": 1, "Sort": 2, "Window": 1,
+                              "WindowGroupLimit": 2},
+}
+
+
+def _plan_fingerprint(df) -> dict:
+    counts = {}
+    for line in _plan(df).splitlines():
+        m = _NODE_RE.match(line)
+        if m and m.group(1) in _FP_KEYS:
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_FINGERPRINTS))
+def test_headline_plan_fingerprint(spark, name):
+    from cs3103_gocrawler_spark.plans.generic_queries import QUERIES
+
+    fn, _sql = QUERIES[name]
+    got = _plan_fingerprint(fn(spark, SF_DIR))
+    assert got == PLAN_FINGERPRINTS[name], (
+        f"{name}: physical plan shape drifted\n"
+        f"  pinned: {PLAN_FINGERPRINTS[name]}\n  got:    {got}"
+    )
+
+
+def test_curation_pipeline_scans_corpus_once(spark):
+    """The composed pipeline's one persisted documents scan: every
+    downstream traversal must read the cache (InMemoryTableScan), with zero
+    direct parquet scans of documents left in the final plan."""
+    from cs3103_gocrawler_spark.plans.generic_queries import q_curation_pipeline
+
+    df = q_curation_pipeline(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "InMemoryTableScan" in plan
+    n_doc_scans = len(
+        re.findall(r"Scan parquet[^\n]*\n[^\n]*documents\.parquet", plan)
+    ) + plan.count("FileScan parquet")
+    assert n_doc_scans == 0, f"corpus re-scanned past the cache:\n{plan[:4000]}"
