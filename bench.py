@@ -71,7 +71,7 @@ TARGET_EFF = 0.85    # early-stop once a coherent headline pair clears this
 # contention, so a single slow-but-probe-clean 32-core window can otherwise
 # freeze a misleading secondary number while the headline early-stops
 SECONDARY_FLOOR = 0.6
-SCALING_TIME_BUDGET_SEC = int(os.environ.get("BENCH_SCALING_BUDGET", "1680"))
+SCALING_TIME_BUDGET_SEC = int(os.environ.get("BENCH_SCALING_BUDGET", "2100"))
 PROBE_ITERS = 20000  # ~1.6 s per probe — long enough to integrate over jitter
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
