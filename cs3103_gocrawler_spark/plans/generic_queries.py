@@ -1131,6 +1131,59 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 3
 """
 
 
+def q_phash_neardup_components(spark, sf_dir):
+    """T29 — image near-dup CLUSTERING (the image-axis twin of T26): banded
+    perceptual-hash candidate pairs → hash-min connected components; every
+    image in a near-dup cluster labeled with its cluster's min id (the
+    canonical copy to keep). Same pseudo-phash construction as
+    ``phash_neardup``; the banding is exact (pigeonhole, max_hamming <
+    n_bands) so the edge set — and therefore the components — match the
+    oracle's O(n²) reference join bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    ph = dedup.hash64(F.col("text"))
+    mask = F.when(F.col("doc_id") % 3 == 0, F.lit(_PH_NEAR_MASK)).otherwise(
+        F.lit(_PH_FAR_MASK)
+    )
+    imgs = docs.select(
+        (F.col("doc_id") * 2).alias("image_id"), ph.alias("phash")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("image_id"),
+            ph.bitwiseXOR(mask).alias("phash"),
+        )
+    )
+    pairs = dedup.phash_neardup_pairs(imgs, max_hamming=3)
+    return dedup.neardup_components(
+        pairs, a_col="id_a", b_col="id_b"
+    ).select(F.col("doc_id").alias("image_id"), "component")
+
+
+SQL_PHASH_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, {_HASH_SQL.format(x='text')} AS ph FROM documents),
+imgs AS (
+  SELECT doc_id * 2 AS image_id, ph FROM base
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         xor(ph, CASE WHEN doc_id % 3 = 0 THEN {_PH_NEAR_MASK}
+                      ELSE {_PH_FAR_MASK} END)
+  FROM base),
+cand AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+SELECT u AS image_id, min(label) AS component FROM reach GROUP BY u
+"""
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """The scale path for embedding near-dup: LSH-bucketed candidates, exact
     cosine verify — shuffle key is the bucket, never a cross join."""
@@ -1462,6 +1515,9 @@ QUERIES = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "phash_neardup": (q_phash_neardup, SQL_PHASH_NEARDUP),
+    "phash_neardup_components": (
+        q_phash_neardup_components, SQL_PHASH_NEARDUP_COMPONENTS,
+    ),
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_IVF),
     "scrape_tables": (q_scrape_tables, SQL_SCRAPE_TABLES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
