@@ -25,7 +25,8 @@ into pandas, a multi-GB pull and a serial Amdahl fraction at 10^8-row rounds
 
 Two probe tiers exist behind ``filter_unseen``:
 
-broadcast  (default, small/medium filters) the driver ORs the segment deltas
+broadcast  (small/medium filters — the engine's "auto" mode resolves here
+           below a 256 MB filter) the driver ORs the segment deltas
            into one bit array and broadcasts it; probing is a vectorized
            pandas UDF. Broadcast volume = filter size per round — fine up to
            a few hundred MB, pathological at north_rule scale (10^10 URLs at
