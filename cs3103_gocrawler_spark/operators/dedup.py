@@ -113,6 +113,26 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return she.groupBy(id_col).agg(*aggs)
 
 
+def band_signatures(signatures: DataFrame, id_col: str = "doc_id",
+                    n_perms: int = N_PERMS, band_size: int = BAND_SIZE) -> DataFrame:
+    """Explode a signature row into its LSH bands: (doc, band_id, band_key)
+    where band_key is the comma-joined minhash slice. Shared by the self-join
+    (lsh_candidate_pairs) and the batch-vs-corpus probe (incremental_lsh_pairs)
+    so both sides of an incremental dedup band identically."""
+    n_bands = n_perms // band_size
+    return signatures.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("band_id", "band_key"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_perms: int = N_PERMS, band_size: int = BAND_SIZE,
                         max_bucket_size: int | None = None) -> DataFrame:
@@ -125,18 +145,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     such clusters are better handled by exact_dedup on their shared prefix);
     the membership aggregation is a map-side-combinable count, not a collect.
     Default None keeps the exact oracle-twin semantics."""
-    n_bands = n_perms // band_size
-    banded = signatures.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.array(*[
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("band_id", "band_key"),
-    )
+    banded = band_signatures(signatures, id_col=id_col, n_perms=n_perms,
+                             band_size=band_size)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band_id", "band_key").agg(
             F.count("*").alias("_bucket_n")
@@ -166,6 +176,46 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket_size: int | None = None,
                       **kw) -> DataFrame:
     return lsh_candidate_pairs(
         minhash_signatures(docs, **kw), max_bucket_size=max_bucket_size
+    )
+
+
+def incremental_lsh_pairs(batch: DataFrame, corpus: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          shingle_k: int = 3) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus (the per-crawl-round /
+    per-ingest shape: only fresh documents are checked, the corpus is never
+    re-self-joined). Both sides are minhash-signed and banded identically
+    (band_signatures); the join is batch-bands ⋈ corpus-bands on
+    (band_id, band_key) → distinct (batch_doc, corpus_doc) collision pairs.
+
+    Scale shape: at 100 TB the corpus's banded table is a precomputed,
+    bucketed-by-(band_id, band_key) artifact that each ingest batch probes —
+    cost per round is O(batch) signatures plus one co-partitioned join; the
+    corpus is neither rescanned per batch nor self-joined. When the batch is
+    small Catalyst/AQE broadcasts the batch side into the corpus scan.
+
+    Mirrors the crawl engine's own two-tier seen-set idea (seen.py): cheap
+    probabilistic collision first, exact verification (ngram_jaccard on the
+    surviving pairs) only for candidates."""
+    bb = band_signatures(
+        minhash_signatures(batch, id_col=id_col, text_col=text_col, shingle_k=shingle_k),
+        id_col=id_col,
+    )
+    cb = band_signatures(
+        minhash_signatures(corpus, id_col=id_col, text_col=text_col, shingle_k=shingle_k),
+        id_col=id_col,
+    )
+    return (
+        bb.alias("b")
+        .join(
+            cb.alias("c"),
+            (F.col("b.band_id") == F.col("c.band_id"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("b.doc").alias("batch_doc"), F.col("c.doc").alias("corpus_doc")
+        )
+        .distinct()
     )
 
 

@@ -92,6 +92,45 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def tfidf_topk(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the sklearn-style smooth idf) — the
+    standard keyword/topic-signal extraction pass of a corpus-curation
+    pipeline.
+
+    Scale shape: one explode over the tokenized corpus feeding two map-side-
+    partial aggregates ((doc, term) tf, then term df); the tf⋈df join is
+    co-partitioned on the term; the corpus size N joins in as a broadcast
+    1-row aggregate (no driver collect); the final top-k is a window
+    partitioned BY DOCUMENT — each window group holds one document's
+    vocabulary, so there is no global sort and no skew funnel. Ties rank by
+    the 6-dp-rounded score then term text, deterministic across engines."""
+    ws = docs.select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
+    tok = ws.select(id_col, F.explode("_ws").alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

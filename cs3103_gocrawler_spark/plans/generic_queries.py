@@ -381,6 +381,73 @@ WHERE rank <= CASE WHEN l_suppkey % 3 = 0
 """
 
 
+def q_host_skew_stats(spark, sf_dir):
+    """T32 — key-skew diagnostics, the pre-pass behind the engine's salting
+    decision (north_rule: per-host salted-hash partitioning to kill skew):
+    per-key row counts → exact max / mean / p50 / p90 / p99 and the
+    max-over-mean skew ratio. events.user_id stands in for the per-host
+    frontier queue depth.
+
+    Scale shape: the per-key count is one map-side-partial aggregate over the
+    full table; everything after runs on the KEY-count relation (|keys| ≪
+    |rows|) — the single global row_number window sorts only that bounded
+    key relation, never the raw rows. Percentiles use the exact
+    rank-at-ceil(p·K) definition (no engine-specific interpolation), so the
+    DuckDB twin is bit-stable."""
+    counts = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.agg(F.count("*").alias("_k"), F.sum("cnt").alias("_total"))
+    ranked = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "rn", F.row_number().over(Window.orderBy("cnt", "user_id")).cast("long")
+    )
+    agg = ranked.agg(
+        F.max("_k").alias("k"),
+        F.max("_total").alias("total"),
+        F.max("cnt").alias("mx"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("_k") / 2.0), F.col("cnt"))).alias("p50"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("_k") * 0.9), F.col("cnt"))).alias("p90"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("_k") * 0.99), F.col("cnt"))).alias("p99"),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("total_rows"),
+        F.col("mx").cast("long").alias("max_cnt"),
+        F.round(F.col("total") / F.col("k").cast("double"), 6).alias("avg_cnt"),
+        F.col("p50").cast("long").alias("p50_cnt"),
+        F.col("p90").cast("long").alias("p90_cnt"),
+        F.col("p99").cast("long").alias("p99_cnt"),
+        F.round(
+            (F.col("mx") * F.col("k")) / F.col("total").cast("double"), 6
+        ).alias("skew_ratio"),
+    )
+
+
+SQL_HOST_SKEW_STATS = """
+WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS k, sum(cnt) AS total FROM counts),
+ranked AS (
+  SELECT c.cnt, c.user_id, t.k, t.total,
+         row_number() OVER (ORDER BY c.cnt, c.user_id) AS rn
+  FROM counts c CROSS JOIN tot t),
+agg AS (
+  SELECT max(k) AS k, max(total) AS total, max(cnt) AS mx,
+         max(CASE WHEN rn = ceil(k / 2.0) THEN cnt END) AS p50,
+         max(CASE WHEN rn = ceil(k * 0.9) THEN cnt END) AS p90,
+         max(CASE WHEN rn = ceil(k * 0.99) THEN cnt END) AS p99
+  FROM ranked)
+SELECT CAST(k AS BIGINT) AS n_keys,
+       CAST(total AS BIGINT) AS total_rows,
+       CAST(mx AS BIGINT) AS max_cnt,
+       round(total / CAST(k AS DOUBLE), 6) AS avg_cnt,
+       CAST(p50 AS BIGINT) AS p50_cnt,
+       CAST(p90 AS BIGINT) AS p90_cnt,
+       CAST(p99 AS BIGINT) AS p99_cnt,
+       round((mx * k) / CAST(total AS DOUBLE), 6) AS skew_ratio
+FROM agg
+"""
+
+
 def q_window_topk_per_group(spark, sf_dir):
     """W4 — top-k per group (skew-guard rank filter)."""
     orders = _t(spark, sf_dir, "orders")
@@ -597,6 +664,29 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """T30 — per-ingest incremental dedup: the NEW batch (doc_id % 5 == 0)
+    probes the EXISTING corpus's banded-LSH index; no corpus self-join, no
+    corpus rescan per batch (operators/dedup.incremental_lsh_pairs). The
+    per-crawl-round shape of the engine's two-tier seen-set, applied to
+    document content instead of URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_lsh_pairs(batch, corpus)
+
+
+# the unused `cand` CTE of the shared shingle scaffold is never referenced,
+# so DuckDB does not evaluate the self-join here
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_SHINGLES_SQL}
+SELECT DISTINCT b.doc AS batch_doc, c.doc AS corpus_doc
+FROM banded b JOIN banded c
+  ON b.band_id = c.band_id AND b.band_key = c.band_key
+WHERE b.doc % 5 = 0 AND c.doc % 5 <> 0
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
@@ -655,6 +745,33 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{textstats.BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(text) AS BIGINT) AS n_chars_computed
 FROM documents
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """T31 — top-3 terms per document by smoothed tf-idf
+    (operators/textstats.tfidf_topk): explode → two map-side-partial aggs →
+    term-co-partitioned tf⋈df join → broadcast 1-row corpus size → per-DOC
+    window top-k (no global sort)."""
+    return textstats.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rk
+       FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 3
 """
 
 
@@ -1492,6 +1609,7 @@ QUERIES = {
         q_politeness_delay_capped_dequeue, SQL_POLITENESS_DELAY_CAPPED_DEQUEUE,
     ),
     "window_topk_per_group": (q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
+    "host_skew_stats": (q_host_skew_stats, SQL_HOST_SKEW_STATS),
     "matcher_conjunction": (q_matcher_conjunction, SQL_MATCHER_CONJUNCTION),
     "url_parse": (q_url_parse, SQL_URL_PARSE),
     "edge_explode_tokens": (q_edge_explode_tokens, SQL_EDGE_EXPLODE_TOKENS),
@@ -1499,10 +1617,12 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_filtered_corpus": (q_dedup_filtered_corpus, SQL_DEDUP_FILTERED_CORPUS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),

@@ -574,3 +574,77 @@ def test_neardup_components_checkpoint_resume(spark, tmp_path):
         chain, max_iter=1, checkpoint_dir=cc_dir
     ).toPandas()
     assert (again["component"] == "c00").all() and len(again) == 8
+
+
+def test_incremental_lsh_pairs_batch_probes_corpus(spark):
+    """T30: a batch doc that copies a corpus doc collides in every band;
+    a novel batch doc collides nowhere; the pair set equals the full
+    self-join's pairs restricted to batch x corpus."""
+    from cs3103_gocrawler_spark.operators.dedup import (
+        incremental_lsh_pairs, minhash_lsh_pairs,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_b = "completely different content about spark shuffle partitions and skew"
+    t_c = "a third novel text mentioning bloom filters politeness and frontiers"
+    corpus = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": t_a}, {"doc_id": 2, "text": t_b},
+    ]))
+    batch = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 100, "text": t_a},  # exact copy of corpus doc 1
+        {"doc_id": 101, "text": t_c},  # novel
+    ]))
+    got = {
+        (r.batch_doc, r.corpus_doc)
+        for r in incremental_lsh_pairs(batch, corpus).collect()
+    }
+    assert (100, 1) in got
+    assert all(b != 101 for b, _ in got)
+
+    # parity with the self-join over the union, restricted to cross pairs
+    full = minhash_lsh_pairs(corpus.unionByName(batch))
+    cross = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+        for r in full.collect()
+        if (r.doc_a >= 100) != (r.doc_b >= 100)
+    }
+    assert got == cross
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """T31: a rare repeated term outranks corpus-wide terms; ties on the
+    rounded score break by term text; rk never exceeds k."""
+    import math
+
+    from cs3103_gocrawler_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "zebra zebra zebra common word"},
+        {"doc_id": 2, "text": "common word alpha"},
+        {"doc_id": 3, "text": "common word beta"},
+    ]))
+    got = tfidf_topk(docs, k=3).toPandas()
+    assert got["rk"].max() <= 3
+    d1 = got[got.doc_id == 1].sort_values("rk")
+    assert d1.iloc[0]["term"] == "zebra"
+    assert d1.iloc[0]["tf"] == 3 and d1.iloc[0]["df"] == 1
+    assert abs(d1.iloc[0]["tfidf"] - round(3 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    d2 = got[got.doc_id == 2].sort_values("rk")
+    # alpha (rare) first, then the score-1.0 tie common/word by term text
+    assert list(d2["term"]) == ["alpha", "common", "word"]
+
+
+def test_host_skew_stats_exact_percentiles(spark, tmp_path):
+    """T32: exact rank-at-ceil(p*K) percentiles and max/mean skew ratio on a
+    hand-computable staircase distribution (key i appears i times)."""
+    from cs3103_gocrawler_spark.plans.generic_queries import q_host_skew_stats
+
+    rows = [{"user_id": k} for k in range(1, 11) for _ in range(k)]
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = q_host_skew_stats(spark, str(tmp_path)).collect()[0]
+    assert got.n_keys == 10 and got.total_rows == 55 and got.max_cnt == 10
+    assert abs(got.avg_cnt - 5.5) < 1e-9
+    assert (got.p50_cnt, got.p90_cnt, got.p99_cnt) == (5, 9, 10)
+    assert abs(got.skew_ratio - round(100 / 55, 6)) < 1e-9
