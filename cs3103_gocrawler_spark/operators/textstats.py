@@ -99,20 +99,24 @@ def tfidf_topk(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     standard keyword/topic-signal extraction pass of a corpus-curation
     pipeline.
 
-    Scale shape: one explode over the tokenized corpus feeding two map-side-
-    partial aggregates ((doc, term) tf, then term df); the tf⋈df join is
-    co-partitioned on the term; the corpus size N joins in as a broadcast
-    1-row aggregate (no driver collect); the final top-k is a window
-    partitioned BY DOCUMENT — each window group holds one document's
-    vocabulary, so there is no global sort and no skew funnel. Ties rank by
-    the 6-dp-rounded score then term text, deterministic across engines."""
+    Scale shape: one explode over the tokenized corpus feeding a map-side-
+    partial (doc, term) tf aggregate; the document frequency is a WINDOW
+    COUNT over the tf relation partitioned by term — one shuffle on the
+    term and a single scan of the exploded corpus (a groupBy+self-join
+    formulation scans/aggregates the tf relation twice); the corpus size N
+    joins in as a broadcast 1-row aggregate (no driver collect); the final
+    top-k is a window partitioned BY DOCUMENT — each window group holds one
+    document's vocabulary, so there is no global sort and no skew funnel.
+    Ties rank by the 6-dp-rounded score then term text, deterministic
+    across engines."""
+    from pyspark.sql import Window
+
     ws = docs.select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
     tok = ws.select(id_col, F.explode("_ws").alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -121,7 +125,6 @@ def tfidf_topk(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             ),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (

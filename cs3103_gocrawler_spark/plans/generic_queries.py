@@ -750,9 +750,9 @@ FROM documents
 
 def q_tfidf_topk(spark, sf_dir):
     """T31 — top-3 terms per document by smoothed tf-idf
-    (operators/textstats.tfidf_topk): explode → two map-side-partial aggs →
-    term-co-partitioned tf⋈df join → broadcast 1-row corpus size → per-DOC
-    window top-k (no global sort)."""
+    (operators/textstats.tfidf_topk): explode → map-side-partial tf agg →
+    window-count df over the tf relation (single corpus scan) → broadcast
+    1-row corpus size → per-DOC window top-k (no global sort)."""
     return textstats.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
@@ -760,12 +760,14 @@ SQL_TFIDF_TOPK = f"""
 WITH words AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
 tok AS (SELECT doc_id, unnest(ws) AS term FROM words),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+tfd AS (SELECT doc_id, term, tf,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM tf),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
 scored AS (
-  SELECT t.doc_id, t.term, t.tf, d.df,
-         round(t.tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1), 6) AS tfidf
-  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+  SELECT t.doc_id, t.term, t.tf, t.df,
+         round(t.tf * (ln((n.n_docs + 1) / (t.df + 1)) + 1), 6) AS tfidf
+  FROM tfd t CROSS JOIN n),
 rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                     ORDER BY tfidf DESC, term) AS rk
        FROM scored)

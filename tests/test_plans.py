@@ -222,6 +222,19 @@ PLAN_FINGERPRINTS = {
     "quality_scores": {},
     "window_topk_per_group": {"Exchange": 1, "Sort": 2, "Window": 1,
                               "WindowGroupLimit": 2},
+    # T30: the 1 BroadcastHashJoin IS the assertion — the batch side
+    # broadcasts into the corpus's banded index, never a corpus self-join
+    "dedup_incremental": {"BroadcastHashJoin": 1, "Exchange": 2,
+                          "Generate": 4, "HashAggregate": 6},
+    # T31: Generate=1 pins the single corpus scan (df via window count over
+    # the tf relation, not a groupBy+self-join that re-explodes the corpus)
+    "tfidf_topk": {"BroadcastNestedLoopJoin": 1, "Exchange": 4, "Generate": 1,
+                   "HashAggregate": 4, "Sort": 3, "Window": 2,
+                   "WindowGroupLimit": 2},
+    # T32: exactly one Sort/Window — the global rank runs on the bounded
+    # per-key-count relation only, never the raw rows
+    "host_skew_stats": {"BroadcastNestedLoopJoin": 1, "Exchange": 4,
+                        "HashAggregate": 8, "Sort": 1, "Window": 1},
 }
 
 
