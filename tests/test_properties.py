@@ -24,7 +24,7 @@ from cs3103_gocrawler_spark.operators.seen import Bloom
 _INT64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     hashes=st.lists(_INT64, max_size=200),
     capacity=st.integers(min_value=1, max_value=5000),
@@ -40,7 +40,7 @@ def test_bloom_never_false_negative(hashes, capacity, n_segments):
         assert b.might_contain(h).all()
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(hashes=st.lists(_INT64, max_size=50))
 def test_bloom_empty_filter_rejects_everything(hashes):
     b = Bloom(1000, fpr=1e-3, n_segments=4)
@@ -65,7 +65,7 @@ def _urls(draw):
     return f"{scheme}://{host}{p}{path}{query}{frag}"
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(url=_urls())
 def test_canonicalize_is_idempotent(url):
     c = canonicalize_url(url)
@@ -73,7 +73,7 @@ def test_canonicalize_is_idempotent(url):
         assert canonicalize_url(c) == c
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(rel=st.sampled_from(["../x", "a/b", "./c?q=2", "/abs/p", "#frag", "x/../../y"]),
        base=_urls())
 def test_canonicalize_with_base_is_idempotent(rel, base):
@@ -82,7 +82,7 @@ def test_canonicalize_with_base_is_idempotent(rel, base):
         assert canonicalize_url(c) == c
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(url=_urls())
 def test_split_canonical_matches_urlsplit_on_canonical_output(url):
     """The string-op fast path must agree with the urlsplit-based accessors
@@ -95,7 +95,7 @@ def test_split_canonical_matches_urlsplit_on_canonical_output(url):
     assert path == url_path(c)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(s=st.text(max_size=80))
 def test_sha1_64_signed_int64_and_deterministic(s):
     v = sha1_64(s)
