@@ -454,3 +454,58 @@ def phash_neardup_pairs(images: DataFrame, id_col: str = "image_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_span_stats(docs: DataFrame, span_len: int = 8,
+                         min_docs: int = 2, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exact duplicate-SPAN detection (substring-level dedup): for every doc,
+    count how many of its ``span_len``-word sliding windows also occur in at
+    least ``min_docs`` distinct documents. This is the span-granular
+    complement of doc-level dedup (T1/T2): training-data pipelines drop or
+    down-weight documents whose text is largely made of corpus-duplicated
+    spans (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — their suffix-array ExactSubstr at 50-token granularity;
+    here the windows are word k-grams so the oracle twin stays expressible).
+
+    Returns one row per input doc: (id, n_spans, n_dup_spans) — all longs, so
+    the DuckDB twin hash-matches exactly.
+
+    Scale shape: the window explode is x(len-k+1) like the minhash shingle
+    stage; grouping and the join back to spans both key on the 60-bit span
+    HASH (never the span string), so the two shuffles move 8-byte keys and
+    co-partition with each other. Count aggregation is map-side partial. No
+    Python anywhere.
+    """
+    ell = int(span_len)
+    w = docs.select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("_words")
+    )
+    spans_arr = F.when(
+        F.size("_words") >= ell,
+        F.expr(
+            f"transform(sequence(1, size(_words) - {ell - 1}),"
+            f" i -> array_join(slice(_words, i, {ell}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = w.select(F.col(id_col), F.explode(spans_arr).alias("span")).select(
+        F.col(id_col), hash64(F.col("span")).alias("h")
+    )
+    stats = sp.groupBy("h").agg(F.countDistinct(id_col).alias("_nd"))
+    per = (
+        sp.join(stats, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_nd") >= min_docs).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+    )

@@ -353,3 +353,61 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                    _norm(F.col(vec_col)).alias("_nb"))
     pairs = cands.join(F.broadcast(q), "query_id").join(n, "neighbor_id")
     return _exact_topk(_score_hoisted(pairs), k)
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.7,
+                   n_centroids: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_list_size: int = 100_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
+    cluster the embeddings with the IVF quantizer, then inside each cluster
+    drop every vector that has a SMALLER-id near-twin (cosine >= threshold).
+    Returns every input row labeled: (id, cid, kept).
+
+    The keep rule is the pairwise greedy one the paper uses (keep a point iff
+    no kept-or-dropped lower-id point in its cluster is within the cosine
+    ball) — deterministic, order-free, and exactly expressible in the SQL
+    twin. Cross-cluster near-dups are invisible by design; that is the
+    SemDeDup trade-off (recall bounded by quantizer locality).
+
+    Scale shape: the pairwise scoring joins the cluster lists on ``cid`` —
+    co-partitioned shuffle, never a corpus cross join — and each pair costs
+    one O(dim) fold (norms are hoisted per row). Within-cluster work is
+    quadratic in LIST size, which is the knob the paper scales by raising k
+    with corpus size; ``max_list_size`` makes that contract self-enforcing
+    (same pattern as embedding_neardup_pairs.max_rows): a cluster larger
+    than it raises instead of silently launching an O(L²) stage.
+    """
+    assigned, _cents = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    biggest = (
+        assigned.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+    )
+    if biggest and biggest > max_list_size:
+        raise ValueError(
+            f"semantic_dedup: largest IVF list has {biggest} rows "
+            f"(> max_list_size={max_list_size}); raise n_centroids so the "
+            "within-cluster quadratic stage stays bounded, or raise "
+            "max_list_size for a deliberate offline run"
+        )
+    a = assigned.select(
+        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    drops = (
+        _score_hoisted(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("_drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col), "cid")
+        .join(drops, F.col(id_col) == F.col("_drop_id"), "left")
+        .select(
+            F.col(id_col), "cid", F.col("_drop_id").isNull().alias("kept")
+        )
+    )

@@ -1593,6 +1593,205 @@ FROM b
 
 
 # --------------------------------------------------------------------------
+# T34–T37 — substring dedup, semantic dedup, image curation, link PageRank
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 8  # words per duplicate-detection window (T34)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """T34 — exact duplicate-span coverage per document (Lee et al. 2022's
+    ExactSubstr granularity, word-window form): how much of each doc is made
+    of spans that also appear in other docs."""
+    return dedup.duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), span_len=_SPAN_LEN, min_docs=2
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sp AS (SELECT doc_id,
+              {_HASH_SQL.format(
+                  x=f"array_to_string(words[i.i : i.i + {_SPAN_LEN - 1}], ' ')")} AS h
+       FROM w, unnest(range(1, len(words) - {_SPAN_LEN} + 2)) AS i(i)),
+st AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h),
+per AS (SELECT sp.doc_id, count(*) AS n_spans,
+               sum(CASE WHEN st.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        FROM sp JOIN st USING (h) GROUP BY sp.doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# SemDeDup ball radius for THIS synthetic embedding table: the vectors are
+# near-orthogonal (within-cluster cosine p99 ≈ 0.32, max ≈ 0.49 at sf0.01),
+# so 0.35 plays the role the paper's ~0.95 plays on real text embeddings —
+# drops a meaningful minority without collapsing the corpus
+_SEMDEDUP_TAU = 0.35
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """T35 — SemDeDup: IVF-cluster the embeddings, drop in-cluster points
+    with a smaller-id near-twin (cosine >= tau); every row labeled kept."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=_SEMDEDUP_TAU,
+        n_centroids=_IVF_CENTROIDS,
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v
+         WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CENTROIDS})),
+cc AS (SELECT v.vec_id, cent.cid,
+              list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * cent.ce[i]))
+              / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(cent.ce, x -> x * x)))) AS c
+       FROM v, cent),
+asn AS (SELECT vec_id, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+          FROM cc)
+        WHERE rn = 1),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cosine
+      FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN v a ON a.vec_id = x.vec_id JOIN v b ON b.vec_id = y.vec_id),
+drops AS (SELECT DISTINCT id_b FROM p WHERE cosine >= {_SEMDEDUP_TAU})
+SELECT asn.vec_id, asn.cid, (drops.id_b IS NULL) AS kept
+FROM asn LEFT JOIN drops ON asn.vec_id = drops.id_b
+"""
+
+
+def q_image_curation(spark, sf_dir):
+    """T36 — LAION-style image-corpus curation gate over the constructed
+    image table (same two-rows-per-doc pseudo-phash construction as
+    q_phash_neardup, plus deterministic metadata): keep an image iff
+    min-dim >= 200, aspect within [1/3, 3] (integer cross-multiplied),
+    fmt is not an animation container, caption has >= 5 words, and it has
+    no SMALLER-id phash near-twin (hamming <= 3, pairwise greedy — the
+    image-axis analog of the T35 keep rule).
+
+    Scale shape: metadata gates are row-local JVM predicates evaluated
+    before the banded join (the only shuffle); the drop list re-joins under
+    AQE broadcast exactly like dedup_filtered_corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    ph = dedup.hash64(F.col("text"))
+    mask = F.when(F.col("doc_id") % 3 == 0, F.lit(_PH_NEAR_MASK)).otherwise(
+        F.lit(_PH_FAR_MASK)
+    )
+    n_words = F.size(dedup.normalized_words(F.col("text"))).cast("long")
+    base = docs.select(
+        (F.col("doc_id") * 2).alias("image_id"), ph.alias("phash"), n_words.alias("n_caption_words"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("image_id"),
+            ph.bitwiseXOR(mask).alias("phash"), n_words.alias("n_caption_words"),
+        )
+    )
+    imgs = base.select(
+        "image_id", "phash", "n_caption_words",
+        (F.lit(64) + (F.col("image_id") * 37) % 1200).alias("w"),
+        (F.lit(64) + (F.col("image_id") * 53) % 900).alias("h"),
+        F.element_at(
+            F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp"), F.lit("gif")),
+            (F.col("image_id") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+    )
+    gated = imgs.filter(
+        (F.least("w", "h") >= 200)
+        & (F.col("w") * 3 >= F.col("h")) & (F.col("h") * 3 >= F.col("w"))
+        & (F.col("fmt") != "gif")
+        & (F.col("n_caption_words") >= 5)
+    )
+    drops = (
+        dedup.phash_neardup_pairs(imgs, max_hamming=3)
+        .select(F.col("id_b").alias("image_id"))
+        .distinct()
+    )
+    return gated.join(drops, "image_id", "left_anti").select(
+        "image_id", "w", "h", "fmt", "n_caption_words"
+    )
+
+
+SQL_IMAGE_CURATION = f"""
+WITH b AS (SELECT doc_id, {_HASH_SQL.format(x='text')} AS ph,
+                  CAST(len({_WORDS_SQL}) AS BIGINT) AS n_caption_words
+           FROM documents),
+base AS (
+  SELECT doc_id * 2 AS image_id, ph, n_caption_words FROM b
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         xor(ph, CASE WHEN doc_id % 3 = 0 THEN {_PH_NEAR_MASK}
+                      ELSE {_PH_FAR_MASK} END), n_caption_words
+  FROM b),
+imgs AS (SELECT image_id, ph, n_caption_words,
+                64 + (image_id * 37) % 1200 AS w,
+                64 + (image_id * 53) % 900 AS h,
+                ['jpeg', 'png', 'webp', 'gif'][CAST(image_id % 4 + 1 AS INT)] AS fmt
+         FROM base),
+drops AS (SELECT DISTINCT b2.image_id
+          FROM imgs a JOIN imgs b2
+          ON a.image_id < b2.image_id AND bit_count(xor(a.ph, b2.ph)) <= 3)
+SELECT image_id, w, h, fmt, n_caption_words
+FROM imgs
+WHERE least(w, h) >= 200 AND w * 3 >= h AND h * 3 >= w
+  AND fmt <> 'gif' AND n_caption_words >= 5
+  AND image_id NOT IN (SELECT image_id FROM drops)
+"""
+
+
+_PR_NODES = 500  # node-space modulus for the constructed link graph
+_PR_ITERS = 3
+
+
+def q_link_pagerank(spark, sf_dir):
+    """T37 — frontier prioritization by link authority: integer fixed-point
+    PageRank (graph.pagerank_units) over a link graph constructed from the
+    lineitem order→part incidence (src = l_orderkey % N, dst = l_partkey %
+    N) — the same priority signal a crawl scheduler feeds into the W2
+    politeness dequeue."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % _PR_NODES).alias("src"),
+            (F.col("l_partkey") % _PR_NODES).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return graph.pagerank_units(edges, iters=_PR_ITERS)
+
+
+def _pr_iter_sql(prev: str) -> str:
+    return f"""SELECT n.node,
+       CAST(150000000000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS rank_units
+FROM n LEFT JOIN (
+  SELECT e.dst AS node, sum({prev}.rank_units // od.outdeg) AS inc
+  FROM e JOIN od USING (src) JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst) i USING (node)"""
+
+
+SQL_LINK_PAGERANK = f"""
+WITH e AS (SELECT DISTINCT l_orderkey % {_PR_NODES} AS src,
+                           l_partkey % {_PR_NODES} AS dst
+           FROM lineitem
+           WHERE l_orderkey % {_PR_NODES} <> l_partkey % {_PR_NODES}),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_units FROM n),
+r1 AS ({_pr_iter_sql("r0")}),
+r2 AS ({_pr_iter_sql("r1")}),
+r3 AS ({_pr_iter_sql("r2")})
+SELECT node, rank_units FROM r3
+"""
+
+
+# --------------------------------------------------------------------------
 
 QUERIES = {
     "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
@@ -1641,6 +1840,10 @@ QUERIES = {
         q_phash_neardup_components, SQL_PHASH_NEARDUP_COMPONENTS,
     ),
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_IVF),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "image_curation": (q_image_curation, SQL_IMAGE_CURATION),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "scrape_tables": (q_scrape_tables, SQL_SCRAPE_TABLES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "similarity_lsh_bucketed": (q_similarity_lsh_bucketed, SQL_SIMILARITY_LSH_BUCKETED),

@@ -648,3 +648,97 @@ def test_host_skew_stats_exact_percentiles(spark, tmp_path):
     assert abs(got.avg_cnt - 5.5) < 1e-9
     assert (got.p50_cnt, got.p90_cnt, got.p99_cnt) == (5, 9, 10)
     assert abs(got.skew_ratio - round(100 / 55, 6)) < 1e-9
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """T34: shared 8-word span counted per doc; short docs get zeros."""
+    from cs3103_gocrawler_spark.operators import dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            # 10 words -> 3 windows; windows 1-? include the shared span once
+            (1, shared + " india juliet"),
+            (2, "zulu " + shared + " yankee"),
+            (3, "completely different words one two three four five six seven"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in dedup.duplicate_span_stats(docs, span_len=8).collect()
+    }
+    # doc 1: 10 words -> 3 windows, exactly window 1 == shared (docs 1+2)
+    assert rows[1] == (3, 1)
+    assert rows[2] == (3, 1)   # shared span sits at window 2 of doc 2
+    assert rows[3] == (3, 0)   # 10 words -> 3 windows, none shared
+    assert rows[4] == (0, 0)   # < span_len words -> no windows at all
+
+
+def test_semantic_dedup_pairwise_keep_rule(spark):
+    """T35: within a cluster, a vector is dropped iff a SMALLER-id vector
+    sits within the cosine ball; cross-cluster twins are not compared."""
+    from cs3103_gocrawler_spark.operators import similarity
+
+    # ids 0 and 1 are the two centroids (lowest-id training rule).
+    # 10/11 join cluster 0 as near-copies of centroid 0 -> both dropped
+    # (centroid 0 itself kept); 20 joins cluster 1 as a near-copy of
+    # centroid 1 -> dropped; 30 is in cluster 0 but orthogonal-ish -> kept.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.99, 0.05, 0.0]),
+        (11, [0.98, 0.06, 0.0]),
+        (20, [0.05, 0.99, 0.0]),
+        (30, [0.6, 0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.95, n_centroids=2
+        ).collect()
+    }
+    assert out[0] == (0, True) and out[1] == (1, True)
+    assert out[10] == (0, False) and out[11] == (0, False)
+    assert out[20] == (1, False)
+    assert out[30][1] is True
+
+
+def test_semantic_dedup_list_guard(spark):
+    from cs3103_gocrawler_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_list_size"):
+        similarity.semantic_dedup(emb, n_centroids=2, max_list_size=10)
+
+
+def test_pagerank_units_matches_hand_computation(spark):
+    """T37: the integer fixed-point recurrence reproduced in pure Python on
+    a 4-node graph with a dangling node and an in-degree-0 node."""
+    from cs3103_gocrawler_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]  # 3 dangles; 4 has no in-links
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in graph.pagerank_units(df, iters=3).collect()
+    }
+
+    outdeg = {1: 2, 2: 1, 4: 1}
+    r = {n: graph.UNIT for n in (1, 2, 3, 4)}
+    for _ in range(3):
+        inc = {n: 0 for n in r}
+        for s, d in edges:
+            inc[d] += r[s] // outdeg[s]
+        r = {
+            n: graph.BASE + (graph.DAMP_NUM * inc[n]) // graph.DAMP_DEN
+            for n in r
+        }
+    assert got == r
+    # dangling node keeps receiving; source-only node decays to base floor
+    assert got[4] == graph.BASE
