@@ -75,3 +75,29 @@ def pagerank_units(edges: DataFrame, iters: int = 3,
             ).cast("long").alias("rank_units"),
         )
     return ranks
+
+
+def rank_link_graph(visited: DataFrame, iters: int = 3) -> DataFrame:
+    """Frontier prioritization over a crawl's OWN output: PageRank on the
+    visited set's extracted-link edge set (the J5 explode,
+    streaming/rounds.py), including link targets that were never fetched.
+    Returns (url, rank_units).
+
+    Those unfetched targets are the next crawl's frontier — they enter the
+    graph as sink nodes and accumulate authority from every page that links
+    to them, so joining this table onto a seed list's ``priority`` column
+    (higher rank ⇒ dequeued earlier under the W2 per-host window) turns the
+    engine's depth-BFS into an authority-first crawl without touching the
+    round loop. The reference keeps the same edge map (gocrawler's
+    ``linkMap``, crawler.go:31-38) but never ranks it.
+    """
+    edges = (
+        visited.select(
+            F.col("url").alias("src"), F.explode("links").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank_units(edges, iters=iters).select(
+        F.col("node").alias("url"), "rank_units"
+    )

@@ -742,3 +742,28 @@ def test_pagerank_units_matches_hand_computation(spark):
     assert got == r
     # dangling node keeps receiving; source-only node decays to base floor
     assert got[4] == graph.BASE
+
+
+def test_rank_link_graph_includes_unfetched_targets(spark):
+    """T37 engine bridge: ranks come from the visited set's links explode,
+    and never-fetched link targets surface as rankable frontier nodes."""
+    from cs3103_gocrawler_spark.operators import graph
+
+    visited = spark.createDataFrame(
+        [
+            ("a", ["b", "x"]),   # x is never fetched
+            ("b", ["a", "x"]),
+        ],
+        "url string, links array<string>",
+    )
+    got = {r["url"]: r["rank_units"] for r in graph.rank_link_graph(visited).collect()}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "x"), ("b", "a"), ("b", "x")], "src string, dst string"
+    )
+    want = {
+        r["node"]: r["rank_units"]
+        for r in graph.pagerank_units(edges, iters=3).collect()
+    }
+    assert got == want
+    assert "x" in got                       # unfetched target is rankable
+    assert got["x"] > got["a"] == got["b"]  # two in-links beat one, symmetric pair ties
