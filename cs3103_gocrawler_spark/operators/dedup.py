@@ -471,12 +471,16 @@ def duplicate_span_stats(docs: DataFrame, span_len: int = 8,
     Returns one row per input doc: (id, n_spans, n_dup_spans) — all longs, so
     the DuckDB twin hash-matches exactly.
 
-    Scale shape: the window explode is x(len-k+1) like the minhash shingle
-    stage; grouping and the join back to spans both key on the 60-bit span
-    HASH (never the span string), so the two shuffles move 8-byte keys and
-    co-partition with each other. Count aggregation is map-side partial. No
-    Python anywhere.
+    Scale shape: ONE corpus explode (plan-gated — a groupBy-then-join-back
+    formulation re-explodes the corpus on both branches, the same
+    CollapseProject trap tfidf_topk documents): occurrences reduce to
+    distinct (hash, doc) pairs with a map-side-partial count, the
+    distinct-doc count per span is a window COUNT over that already-reduced
+    relation (never the raw occurrence stream), and every shuffle key is
+    the 60-bit span hash, not the span string. No Python anywhere.
     """
+    from pyspark.sql import Window
+
     ell = int(span_len)
     w = docs.select(
         F.col(id_col), normalized_words(F.col(text_col)).alias("_words")
@@ -491,14 +495,15 @@ def duplicate_span_stats(docs: DataFrame, span_len: int = 8,
     sp = w.select(F.col(id_col), F.explode(spans_arr).alias("span")).select(
         F.col(id_col), hash64(F.col("span")).alias("h")
     )
-    stats = sp.groupBy("h").agg(F.countDistinct(id_col).alias("_nd"))
-    per = (
-        sp.join(stats, "h")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum((F.col("_nd") >= min_docs).cast("long")).alias("n_dup_spans"),
-        )
+    # (h, doc, occ): one row per span-per-doc — the corpus is never
+    # re-scanned; _nd rides in as a window count over the reduced relation
+    g = sp.groupBy("h", id_col).agg(F.count("*").alias("_occ"))
+    g = g.withColumn("_nd", F.count("*").over(Window.partitionBy("h")))
+    per = g.groupBy(id_col).agg(
+        F.sum("_occ").alias("n_spans"),
+        F.sum(
+            F.when(F.col("_nd") >= min_docs, F.col("_occ")).otherwise(F.lit(0))
+        ).alias("n_dup_spans"),
     )
     return (
         docs.select(id_col)

@@ -53,6 +53,12 @@ def pagerank_units(edges: DataFrame, iters: int = 3,
     )
     outdeg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
     ew = edges.join(outdeg, src_col)
+    # nodes and the degree-annotated edge list are read EVERY iteration —
+    # persist them once or each iteration's plan re-derives them from the
+    # raw edge scan (3 iterations cost 3 distincts + 3 degree aggs instead
+    # of one of each; at 10^10 edges that is the whole job)
+    nodes = nodes.persist()
+    ew = ew.persist()
     ranks = nodes.withColumn("rank_units", F.lit(UNIT).cast("long"))
     for _ in range(int(iters)):
         inc = (

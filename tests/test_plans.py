@@ -235,6 +235,20 @@ PLAN_FINGERPRINTS = {
     # per-key-count relation only, never the raw rows
     "host_skew_stats": {"BroadcastNestedLoopJoin": 1, "Exchange": 4,
                         "HashAggregate": 8, "Sort": 1, "Window": 1},
+    # T34: Generate=1 pins the single corpus explode (the groupBy+join-back
+    # formulation re-explodes the corpus on both branches); the dup-doc
+    # count is a Window over the reduced (hash, doc) relation
+    "substring_dedup": {"BroadcastHashJoin": 1, "Exchange": 3, "Generate": 1,
+                        "HashAggregate": 4, "Sort": 1, "Window": 1},
+    # T35: the 1 SortMergeJoin is the cid-co-partitioned inverted-list
+    # pairing — no CartesianProduct / BroadcastNestedLoopJoin may appear
+    "semantic_dedup": {"BroadcastHashJoin": 1, "Exchange": 2,
+                       "HashAggregate": 2, "Sort": 2, "SortMergeJoin": 1},
+    # T36: band explode pushes through the 2-branch union (4 Generates =
+    # 2 sides x 2 branches, each branch scanned once); gates are row-local
+    # (no extra Exchange beyond the banded join + drop-list anti-join)
+    "image_curation": {"BroadcastHashJoin": 2, "Exchange": 4, "Generate": 4,
+                       "HashAggregate": 4, "Sort": 4, "SortMergeJoin": 2},
 }
 
 
@@ -272,3 +286,21 @@ def test_curation_pipeline_scans_corpus_once(spark):
         re.findall(r"Scan parquet[^\n]*\n[^\n]*documents\.parquet", plan)
     ) + plan.count("FileScan parquet")
     assert n_doc_scans == 0, f"corpus re-scanned past the cache:\n{plan[:4000]}"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_link_pagerank_iterations_read_cached_state(spark):
+    """T37: every iteration must read the persisted nodes / degree-annotated
+    edge relations instead of re-deriving them from the raw edge scan —
+    7 InMemoryTableScans = nodes x4 (r0 + three inc-merges) + ew x3.
+    (A flat-count fingerprint is useless here: InMemoryRelation prints its
+    build plan nested inside the string, inflating node counts.)"""
+    from cs3103_gocrawler_spark.plans.generic_queries import QUERIES
+
+    spark.catalog.clearCache()
+    try:
+        plan = _plan(QUERIES["link_pagerank"][0](spark, SF_DIR))
+        assert plan.count("InMemoryTableScan") == 7, plan[:2000]
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
