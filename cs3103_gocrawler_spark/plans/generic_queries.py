@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..operators import dedup, similarity, textstats
+from ..operators import dedup, similarity, temporal, textstats
 from ..operators.multimodal import extract_features
 
 STOP_SQL = "['" + "','".join(textstats.STOPWORDS) + "']"
@@ -558,6 +558,142 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# §8 T38-T40 — temporal operators (operators/temporal.py)
+# --------------------------------------------------------------------------
+
+def q_asof_attribution(spark, sf_dir):
+    """T38 — backward as-of join: each purchase attributes to the user's most
+    recent prior (or simultaneous) view; ties on view ts break to the larger
+    event_id. One shuffle on user_id (union-tag + carry-forward window) — no
+    per-key loop, no range probe (operators/temporal.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+    )
+    joined = temporal.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        carry=("view_event_id", "view_ts"),
+        tiebreak="view_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id").alias("last_view_event_id"),
+        F.when(
+            F.col("view_event_id").isNotNull(),
+            temporal._us("ts") - temporal._us("view_ts"),
+        ).alias("view_gap_us"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, p.ts,
+       v.view_event_id AS last_view_event_id,
+       CASE WHEN v.view_event_id IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(v.view_ts) END AS view_gap_us
+FROM events p
+LEFT JOIN LATERAL (
+    SELECT event_id AS view_event_id, ts AS view_ts
+    FROM events
+    WHERE event_type = 'view' AND user_id = p.user_id AND ts <= p.ts
+    ORDER BY ts DESC, event_id DESC LIMIT 1
+) v ON true
+WHERE p.event_type = 'purchase'
+"""
+
+
+def q_range_window_clicks(spark, sf_dir):
+    """T39 — point-in-interval range join: clicks landing inside the hour
+    after each purchase, counted per purchase window. Hour-binned equi-join
+    + residual exact predicate — never a cross product; the oracle states
+    the same relation as a plain inequality join (operators/temporal.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"), F.col("ts").alias("window_start")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"), "value"
+    )
+    matched = temporal.interval_join(
+        clicks,
+        purchases,
+        point_ts="click_ts",
+        start_ts="window_start",
+        duration_us=temporal.HOUR_US,
+    )
+    return matched.groupBy("window_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(_cents(F.col("value"))).alias("click_value_cents"),
+    )
+
+
+SQL_RANGE_WINDOW_CLICKS = """
+SELECT p.event_id AS window_id,
+       count(*) AS n_clicks,
+       CAST(sum(CAST(floor(c.value * 100) AS BIGINT)) AS BIGINT) AS click_value_cents
+FROM events p
+JOIN events c
+  ON c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts)
+ AND epoch_us(c.ts) < epoch_us(p.ts) + 3600000000
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """T40 — gap sessionization (30-min inactivity) → per-session rollup.
+    lag-boundary + running sum over one (user, ts, event_id) window, then a
+    groupBy on the same key — a single shuffle end-to-end
+    (operators/temporal.py)."""
+    ev = _t(spark, sf_dir, "events")
+    s = temporal.sessionize(
+        ev, key="user_id", ts="ts", tiebreak="event_id", gap_us=30 * temporal.MINUTE_US
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("_ev_us").alias("session_start_us"),
+        F.max("_ev_us").alias("session_end_us"),
+        (F.max("_ev_us") - F.min("_ev_us")).alias("duration_us"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), b AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS boundary
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+    SELECT *, CAST(sum(boundary) OVER (
+        PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+    ) AS BIGINT) AS session_idx FROM b
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(us) AS session_start_us, max(us) AS session_end_us,
+       max(us) - min(us) AS duration_us,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
@@ -1815,6 +1951,9 @@ QUERIES = {
     "url_parse": (q_url_parse, SQL_URL_PARSE),
     "edge_explode_tokens": (q_edge_explode_tokens, SQL_EDGE_EXPLODE_TOKENS),
     "event_window_agg": (q_event_window_agg, SQL_EVENT_WINDOW_AGG),
+    "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
+    "range_window_clicks": (q_range_window_clicks, SQL_RANGE_WINDOW_CLICKS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

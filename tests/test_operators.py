@@ -767,3 +767,101 @@ def test_rank_link_graph_includes_unfetched_targets(spark):
     assert got == want
     assert "x" in got                       # unfetched target is rankable
     assert got["x"] > got["a"] == got["b"]  # two in-links beat one, symmetric pair ties
+
+
+# --------------------------------------------------------------------------
+# T38-T40 — temporal operators (operators/temporal.py)
+# --------------------------------------------------------------------------
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_inclusive_tiebreak_and_missing(spark):
+    """Hand case: inclusive backward match, max-event_id tie-break at equal
+    ts, null carry when no right row precedes, key isolation."""
+    from cs3103_gocrawler_spark.operators import temporal
+
+    purchases = spark.createDataFrame(
+        pd.DataFrame({
+            "event_id": [100, 101, 102],
+            "user_id": [1, 1, 2],
+            "ts": [_ts("2024-01-01 00:00:20"),  # ties with views 11/12
+                   _ts("2024-01-01 00:00:05"),  # before every view -> null
+                   _ts("2024-01-01 00:00:30")], # user 2 has no views -> null
+        })
+    )
+    views = spark.createDataFrame(
+        pd.DataFrame({
+            "user_id": [1, 1, 1],
+            "view_ts": [_ts("2024-01-01 00:00:10"),
+                        _ts("2024-01-01 00:00:20"),
+                        _ts("2024-01-01 00:00:20")],
+            "view_event_id": [10, 11, 12],
+        })
+    )
+    got = {
+        r["event_id"]: (r["view_event_id"], r["view_ts"])
+        for r in temporal.asof_join(
+            purchases, views, on="user_id", left_ts="ts", right_ts="view_ts",
+            carry=("view_event_id", "view_ts"), tiebreak="view_event_id",
+        ).collect()
+    }
+    assert got[100][0] == 12          # inclusive, and 12 beats 11 on the tie
+    assert got[101] == (None, None)   # no prior view
+    assert got[102] == (None, None)   # other user's views never leak
+
+
+def test_interval_join_halfopen_boundaries_and_bin_spanning(spark):
+    """Exact [start, start+dur): the start instant is in, the end instant is
+    out, a point in the interval's SECOND hour-bin matches exactly once."""
+    from cs3103_gocrawler_spark.operators import temporal
+
+    base = _ts("2024-01-01 00:30:00")  # interval 00:30:00..01:30:00 spans 2 bins
+    intervals = spark.createDataFrame(
+        pd.DataFrame({"window_id": [1], "window_start": [base]})
+    )
+    points = spark.createDataFrame(
+        pd.DataFrame({
+            "click_id": [1, 2, 3, 4],
+            "click_ts": [
+                base,                                   # == start: in
+                _ts("2024-01-01 01:10:00"),             # second bin: in, once
+                _ts("2024-01-01 01:30:00"),             # == end: out
+                _ts("2024-01-01 00:29:59.999999"),      # just before: out
+            ],
+        })
+    )
+    got = temporal.interval_join(
+        points, intervals, point_ts="click_ts", start_ts="window_start",
+        duration_us=temporal.HOUR_US,
+    ).toPandas()
+    assert sorted(got["click_id"]) == [1, 2]
+    assert len(got) == 2  # the bin-spanning point matched exactly once
+
+
+def test_sessionize_gap_semantics(spark):
+    """A gap of exactly gap_us continues the session; strictly greater
+    starts a new one; indexes are per-key dense from 1."""
+    from cs3103_gocrawler_spark.operators import temporal
+
+    t0 = _ts("2024-01-01 00:00:00")
+    sec = pd.Timedelta(seconds=1)
+    ev = spark.createDataFrame(
+        pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": [t0, t0 + 10 * sec,        # same session (10 <= 10)
+                   t0 + 20 * sec,            # same session (10 <= 10)
+                   t0 + 31 * sec,            # 11 > 10 -> new session
+                   t0],                      # other key restarts at 1
+        })
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in temporal.sessionize(
+            ev, key="user_id", ts="ts", tiebreak="event_id",
+            gap_us=10_000_000,
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}

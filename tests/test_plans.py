@@ -249,6 +249,18 @@ PLAN_FINGERPRINTS = {
     # (no extra Exchange beyond the banded join + drop-list anti-join)
     "image_curation": {"BroadcastHashJoin": 2, "Exchange": 4, "Generate": 4,
                        "HashAggregate": 4, "Sort": 4, "SortMergeJoin": 2},
+    # T38: the whole as-of is ONE shuffle + sort + carry-forward window over
+    # the union — no join node at all (the join-free merge_asof shape)
+    "asof_attribution": {"Exchange": 1, "Sort": 1, "Window": 1},
+    # T39: bin-bucketed equi-join (broadcast at this SF) + residual range
+    # filter, ONE interval explode — a CartesianProduct/BNLJ here is
+    # exactly the regression this pin exists to catch
+    "range_window_clicks": {"BroadcastHashJoin": 1, "Exchange": 1,
+                            "Generate": 1, "HashAggregate": 2},
+    # T40: lag-boundary + running-sum windows share one (user) sort, and the
+    # (user, session_idx) rollup rides the user-hash partitioning (subset
+    # key) — ONE exchange end-to-end
+    "sessionize": {"Exchange": 1, "HashAggregate": 2, "Sort": 1, "Window": 2},
 }
 
 
