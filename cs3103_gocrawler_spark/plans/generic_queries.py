@@ -696,6 +696,53 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM s GROUP BY 1, 2
 """
 
+
+def q_session_window_agg(spark, sf_dir):
+    """T41 (batch face) — Spark's NATIVE session_window aggregation, the
+    same plan fragment the Structured-Streaming sessionizer runs
+    (streaming/events_stream.py: stream ≡ batch parity is pytest-gated).
+    Boundary semantics are half-open — a successor exactly gap later starts
+    a NEW session — which is what the twin's ``>=`` boundary rule states."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            temporal._us(F.col("sw.start")).alias("session_start_us"),
+            temporal._us(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), b AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w >= 1800000000
+                   THEN 1 ELSE 0 END AS boundary
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+    SELECT *, sum(boundary) OVER (
+        PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_idx FROM b
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, session_idx
+"""
+
 # --------------------------------------------------------------------------
 # training-data pipeline — dedup family
 # --------------------------------------------------------------------------
@@ -1954,6 +2001,7 @@ QUERIES = {
     "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "range_window_clicks": (q_range_window_clicks, SQL_RANGE_WINDOW_CLICKS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_window_agg": (q_session_window_agg, SQL_SESSION_WINDOW_AGG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

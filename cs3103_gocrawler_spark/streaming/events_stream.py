@@ -134,3 +134,64 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    query_name: str = "sessionized_events",
+):
+    """Streaming sessionization via Spark's native ``session_window`` — the
+    continuous analog of the batch ``temporal.sessionize`` (T40): per-key
+    session aggregates whose windows merge while events arrive within
+    ``gap`` of each other; the watermark lets closed sessions age out of the
+    state store, so state is bounded by active sessions, not history.
+
+    Boundary semantics differ from T40 by design: ``session_window`` is
+    half-open ([ts, ts+gap) per event, merged), so a successor exactly
+    ``gap`` later starts a NEW session, where the batch operator's
+    ``diff > gap`` rule keeps it. The parity contract here is
+    stream ≡ batch ``session_window`` (same built-in, both engines' modes),
+    asserted by tests/test_scrape_stream.py."""
+    src = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withWatermark(ts_col, watermark)
+    )
+    agg = _session_agg(src, gap, key_col, ts_col)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _session_agg(df: DataFrame, gap: str, key_col: str, ts_col: str) -> DataFrame:
+    """Shared session-window aggregation — the SAME plan fragment serves the
+    batch frame and the stream (stream-batch unification is the point of the
+    DataFrame API; the parity test runs this in both modes)."""
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            key_col,
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "value_cents",
+        )
+    )

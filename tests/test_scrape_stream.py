@@ -180,3 +180,47 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     batch_n = spark.read.parquet(f"{sf}/events.parquet").select("event_id").distinct().count()
     assert len(got) == batch_n
     assert got["event_id"].is_unique
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """T41: native session_window sessionization — the availableNow stream
+    over the events parquet equals the identical batch aggregation (the same
+    _session_agg plan fragment run in both modes), and session shapes are
+    sane (end - start >= gap, n_events >= 1)."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from cs3103_gocrawler_spark.streaming.events_stream import (
+        _session_agg,
+        stream_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-0.parquet")
+    q = stream_sessionize(spark, str(events_dir), schema, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    cols = ["session_start", "session_end", "user_id", "n_events", "value_cents"]
+    got = (
+        spark.table("sessionized_events").toPandas()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    batch = spark.read.parquet(str(events_dir)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = (
+        _session_agg(batch, "30 minutes", "user_id", "ts").toPandas()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(want)
+    assert (got["n_events"] >= 1).all()
+    assert ((got["session_end"] - got["session_start"])
+            >= pd.Timedelta(minutes=30)).all()
