@@ -392,16 +392,16 @@ def filter_unseen(
     elif bloom is None or bloom.n_added == 0:
         return candidates.join(seen.select("url"), "url", "left_anti"), candidates.limit(0)
     else:
-        state = spark.sparkContext.broadcast(
-            (bloom.bits, int(bloom.m_seg), bloom.k, bloom.s)
-        )
+        # duck-typed broadcast tier: any filter exposing might_contain over
+        # int64 sha1s rides here — Bloom or the deletable CuckooFilter
+        # (operators/cuckoo.py). One broadcast per probing round either way.
+        state = spark.sparkContext.broadcast(bloom)
 
         @F.pandas_udf("boolean")
         def might_contain(h: pd.Series) -> pd.Series:
-            bits, m_seg, k, s = state.value
-            b = Bloom.__new__(Bloom)
-            b.bits, b.m_seg, b.k, b.s, b.n_added = bits, np.uint64(m_seg), k, s, 1
-            return pd.Series(b.might_contain(h.to_numpy(dtype=np.int64)))
+            return pd.Series(
+                state.value.might_contain(h.to_numpy(dtype=np.int64))
+            )
 
         flagged = candidates.withColumn("_maybe", might_contain(F.col("url_sha1")))
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
