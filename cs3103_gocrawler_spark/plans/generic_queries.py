@@ -697,6 +697,53 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """T42 — pivot (§2.4 wide-aggregation shape): per-user event counts and
+    value cents spread across the five event types. The pivot VALUES are
+    pinned explicitly — with them, Spark skips the extra distinct-values job
+    and the output schema is static (plan = one partial+final aggregate,
+    same as any groupBy; a pivot is just an agg with composite columns)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid in a pivot
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(f"{t}_{m}"), F.lit(0)).alias(f"{t}_{m}")
+                for t in types
+                for m in ("n", "cents")
+            ],
+        )
+    )
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click_n,
+       COALESCE(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                FILTER (event_type = 'click') AS BIGINT), 0)    AS click_cents,
+       count(*) FILTER (event_type = 'error')    AS error_n,
+       COALESCE(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                FILTER (event_type = 'error') AS BIGINT), 0)    AS error_cents,
+       count(*) FILTER (event_type = 'purchase') AS purchase_n,
+       COALESCE(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT), 0) AS purchase_cents,
+       count(*) FILTER (event_type = 'signup')   AS signup_n,
+       COALESCE(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                FILTER (event_type = 'signup') AS BIGINT), 0)   AS signup_cents,
+       count(*) FILTER (event_type = 'view')     AS view_n,
+       COALESCE(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                FILTER (event_type = 'view') AS BIGINT), 0)     AS view_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_session_window_agg(spark, sf_dir):
     """T41 (batch face) — Spark's NATIVE session_window aggregation, the
     same plan fragment the Structured-Streaming sessionizer runs
@@ -2002,6 +2049,7 @@ QUERIES = {
     "range_window_clicks": (q_range_window_clicks, SQL_RANGE_WINDOW_CLICKS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_window_agg": (q_session_window_agg, SQL_SESSION_WINDOW_AGG),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

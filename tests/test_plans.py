@@ -261,6 +261,10 @@ PLAN_FINGERPRINTS = {
     # (user, session_idx) rollup rides the user-hash partitioning (subset
     # key) — ONE exchange end-to-end
     "sessionize": {"Exchange": 1, "HashAggregate": 2, "Sort": 1, "Window": 2},
+    # T42: pinned pivot VALUES → no distinct-values pre-job; Spark lowers
+    # the multi-agg pivot to (user, type) partial agg + PivotFirst rollup —
+    # two aggregate pairs, no join, no Python
+    "event_type_pivot": {"Exchange": 2, "HashAggregate": 4},
 }
 
 
