@@ -324,6 +324,29 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+
+def q_cube_agg(spark, sf_dir):
+    """T43 — cube + grouping_id (§2.4's full grouping-sets shape): all four
+    (returnflag × linestatus) subtotal planes in one pass. ``grouping_id``
+    disambiguates a NULL group key from a subtotal row — without it the
+    all-NULL data row and the grand total would be indistinguishable, which
+    is exactly the bug class the twin's GROUPING() arithmetic pins down."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 # --------------------------------------------------------------------------
 # §2.5 — window / ordering / top-k
 # --------------------------------------------------------------------------
@@ -2035,6 +2058,7 @@ QUERIES = {
     "first_writer_wins": (q_first_writer_wins, SQL_FIRST_WRITER_WINS),
     "min_depth_merge": (q_min_depth_merge, SQL_MIN_DEPTH_MERGE),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "politeness_rank_dequeue": (q_politeness_rank_dequeue, SQL_POLITENESS_RANK_DEQUEUE),
     "politeness_delay_capped_dequeue": (
         q_politeness_delay_capped_dequeue, SQL_POLITENESS_DELAY_CAPPED_DEQUEUE,
