@@ -6,7 +6,10 @@ cuckoo filter (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
 CoNEXT 2014 — public) whose distinguishing capability is DELETION: a crawl
 that schedules recrawls can evict a URL's fingerprint and have it flow
 through the standard two-tier unseen check again, which no bloom can do
-without a full rebuild.
+without a full rebuild. Reference parity: the semantics being approximated
+is still the exact membership map `c.VisitedPageInfo[link]`
+(crawler.go:74-79, 97-102) — any pre-filter tier only prunes; the exact
+anti-join decides.
 
 Standard construction: ``bucket_size`` slots per bucket, ``fp_bits``-bit
 fingerprints, partial-key cuckoo hashing — a key's two candidate buckets are
