@@ -493,6 +493,36 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
 WHERE rank <= 2
 """
 
+
+def q_ntile_percent_rank(spark, sf_dir):
+    """T44 — distribution windows (§2.5): quartile bucket (`ntile`) and
+    `percent_rank` of order value within each priority class. The window
+    order is a TOTAL order (cents, then orderkey), so bucket boundaries are
+    parallelism-invariant; percent_rank = k/(n-1) with prime-ish group
+    sizes never lands on a decimal rounding boundary, so round(…,6) is
+    bit-stable across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice")).alias("price_cents")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority", cents)
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+    )
+
+
+SQL_NTILE_PERCENT_RANK = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+"""
+
 # --------------------------------------------------------------------------
 # §2.2 / §2.7 — filters & scalar functions
 # --------------------------------------------------------------------------
@@ -2064,6 +2094,7 @@ QUERIES = {
         q_politeness_delay_capped_dequeue, SQL_POLITENESS_DELAY_CAPPED_DEQUEUE,
     ),
     "window_topk_per_group": (q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
+    "ntile_percent_rank": (q_ntile_percent_rank, SQL_NTILE_PERCENT_RANK),
     "host_skew_stats": (q_host_skew_stats, SQL_HOST_SKEW_STATS),
     "matcher_conjunction": (q_matcher_conjunction, SQL_MATCHER_CONJUNCTION),
     "url_parse": (q_url_parse, SQL_URL_PARSE),
