@@ -583,6 +583,43 @@ def _persist(result: dict) -> None:
     os.replace(tmp, RESULT_FILE)
 
 
+def _compact(result: dict) -> dict:
+    """Headline-only view of the result for the final stdout line.
+
+    The driver records only the last ~4 KB of stdout and json-parses the
+    final line; the full result (pair_passes, per_cycle, machine ceiling)
+    blew past that window in r04 ("parsed": null) — so the printed line
+    carries just the promoted numbers and points at BENCH_result.json for
+    the rest."""
+    out = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    c = result.get("crawl") or {}
+    if c:
+        out["crawl"] = {
+            k: c[k]
+            for k in ("rounds", "urls_dequeued", "urls_fetched_ok",
+                      "wall_sec", "urls_per_sec")
+            if k in c
+        }
+    s = result.get("scaling") or {}
+    if s and "error" not in s:
+        pair_keys = (
+            "n_cores", "n4_cores", "urls_per_sec_n", "urls_per_sec_4n",
+            "scaling_efficiency", "probe_eff_same_window",
+            "eff_probe_normalized", "time_coherent",
+        )
+        out["scaling"] = {k: s[k] for k in pair_keys if k in s}
+        sec = s.get("secondary_pair") or {}
+        out["scaling"]["secondary_pair"] = {
+            k: sec[k] for k in pair_keys if k in sec
+        }
+        out["scaling"]["identical_output"] = s.get("identical_output")
+        out["scaling"]["urls"] = s.get("urls")
+        out["scaling"]["detail"] = "BENCH_result.json"
+    elif s:
+        out["scaling"] = s
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-worker", type=int, default=None,
@@ -634,7 +671,7 @@ def main():
     else:
         spark.stop()
     _persist(result)
-    print(json.dumps(result))
+    print(json.dumps(_compact(result)))
 
 
 if __name__ == "__main__":

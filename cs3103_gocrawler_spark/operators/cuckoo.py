@@ -75,6 +75,12 @@ class CuckooFilter:
         self.m = m
         self.table = np.zeros((m, self.b), dtype=np.uint16)
         self.n_added = 0
+        # set when an eviction chain overflows: the displaced resident is
+        # lost, so the no-false-negative contract no longer holds — every
+        # subsequent probe/mutation raises instead of silently lying
+        # (ADVICE r4: a caller that caught the overflow and kept probing
+        # used to get silent false negatives)
+        self.poisoned = False
 
     # -- key → (fingerprint, bucket1, bucket2), all vectorized ------------
 
@@ -95,8 +101,10 @@ class CuckooFilter:
         """Insert; raises when an eviction chain exceeds MAX_KICKS (table
         effectively full). The raise is fatal for the instance: the failed
         chain's displaced resident is in-hand, not in the table, so a
-        previously-added key could turn false-negative — size ``capacity``
-        for the crawl's URL budget instead of catching this."""
+        previously-added key could turn false-negative — the instance is
+        POISONED (every later call raises); size ``capacity`` for the
+        crawl's URL budget instead of catching this."""
+        self._check_poisoned()
         h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
         fp = self._fp(h)
         i1 = self._i1(h)
@@ -147,6 +155,15 @@ class CuckooFilter:
                 return True
         return False
 
+    def _check_poisoned(self) -> None:
+        if self.poisoned:
+            raise RuntimeError(
+                "cuckoo filter is poisoned: a previous insert overflowed its "
+                "eviction chain and lost a resident fingerprint, so probes "
+                "could return false negatives — rebuild with a larger "
+                "capacity"
+            )
+
     def _insert_with_kicks(self, i: int, fp: np.uint16) -> None:
         for kicks in range(self.MAX_KICKS):
             row = self.table[i]
@@ -157,12 +174,14 @@ class CuckooFilter:
             slot = kicks % self.b  # deterministic victim (see module doc)
             fp, row[slot] = row[slot], fp
             i = int(self._alt(np.array([i]), np.array([fp], dtype=np.uint64))[0])
+        self.poisoned = True
         raise RuntimeError(
             f"cuckoo filter over capacity (load {self.n_added}/{self.m * self.b}); "
             "size `capacity` for the crawl's URL budget"
         )
 
     def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        self._check_poisoned()
         h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
         if self.n_added == 0:
             return np.zeros(len(h), dtype=bool)
@@ -178,6 +197,7 @@ class CuckooFilter:
         Returns which keys were present. Only ever call with keys that were
         added: deleting a never-added key can strip a colliding resident —
         the standard cuckoo-filter contract."""
+        self._check_poisoned()
         h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
         fp = self._fp(h).astype(np.uint16)
         i1 = self._i1(h)

@@ -8,11 +8,20 @@ the natural target-side extension, feeding the same priority column the
 politeness dequeue (W2) already orders by.
 
 Numerics: the rank is computed in FIXED-POINT integer units (1 unit =
-10^-12 of one page's initial mass) with floor division everywhere, so every
+10^-8 of one page's initial mass) with floor division everywhere, so every
 engine — Spark, DuckDB, a hand calculation — produces bit-identical longs.
 Floating-point PageRank sums doubles in shuffle-arrival order, which no
 cross-engine hash gate can pin down; integer mass is associative, so the
-oracle twin matches exactly. Damping 0.85 becomes ``(85 * x) DIV 100``.
+oracle twin matches exactly. Damping 0.85 is applied as the staged integer
+division ``(x DIV 100)*85 + ((x % 100)*85) DIV 100`` — exactly equal to
+``(85*x) DIV 100`` for x ≥ 0 but with a max intermediate of ``85*(x DIV
+100)``, so the multiply can never wrap int64 for ANY representable mass.
+Overflow bound: the only remaining 64-bit-sensitive expression is the
+inbound-mass SUM, bounded by total graph mass n·UNIT; with UNIT = 10^8
+that stays under 2^63 for n ≤ 9.2×10^10 nodes — comfortably past the
+advertised 10^10-URL frontier even in the pathological every-edge-into-
+one-sink graph. (UNIT = 10^12, the round-4 value, wrapped at ~10^5 nodes
+feeding one sink — ADVICE r4.)
 
 Scale shape (per iteration): one join of the edge list against the rank
 vector on ``src`` (both sides hash-partition on the join key; the edge list
@@ -29,21 +38,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-UNIT = 10**12                 # fixed-point scale: initial rank per node
+UNIT = 10**8                  # fixed-point scale: initial rank per node
 BASE = (15 * UNIT) // 100     # (1 - damping) mass kept by every node
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
 
 
 def pagerank_units(edges: DataFrame, iters: int = 3,
-                   src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+                   src_col: str = "src", dst_col: str = "dst",
+                   materialize: bool = True) -> DataFrame:
     """Integer fixed-point PageRank over a distinct (src, dst) edge list
     (self-loops excluded by the caller). Returns (node, rank_units) with
-    rank_units a long in UNIT = 10^12 fixed-point units.
+    rank_units a long in UNIT = 10^8 fixed-point units.
 
-    Per-node update: r'(v) = BASE + (85 * Σ_{(u,v)} (r(u) DIV outdeg(u)))
-    DIV 100. Dangling mass is dropped rather than redistributed (both
-    engines drop it identically; redistribution would add one tiny global
-    agg per iteration and is orthogonal to the join/agg shape).
+    Per-node update: r'(v) = BASE + damp(Σ_{(u,v)} (r(u) DIV outdeg(u)))
+    where damp(x) = (x DIV 100)*85 + ((x % 100)*85) DIV 100 ≡ (85*x) DIV
+    100, staged so the multiply cannot wrap int64 (module docstring).
+    Dangling mass is dropped rather than redistributed (both engines drop
+    it identically; redistribution would add one tiny global agg per
+    iteration and is orthogonal to the join/agg shape).
+
+    With ``materialize=True`` (default) the final ranks are eagerly
+    localCheckpoint-ed — truncating the iteration lineage — and the two
+    internally persisted relations (nodes, degree-annotated edges) are
+    unpersisted before returning, so a call leaves NOTHING pinned in
+    executor storage (ADVICE r4: the round-4 version leaked both for the
+    session lifetime). Pass ``materialize=False`` to get the lazy plan
+    back for inspection; the caller then owns the two cached relations
+    (clear with ``spark.catalog.clearCache()``).
     """
     src, dst = F.col(src_col), F.col(dst_col)
     nodes = (
@@ -75,11 +96,21 @@ def pagerank_units(edges: DataFrame, iters: int = 3,
             (
                 F.lit(BASE)
                 + F.expr(
-                    f"({DAMP_NUM} * coalesce(_inc, CAST(0 AS BIGINT)))"
-                    f" DIV {DAMP_DEN}"
+                    f"(coalesce(_inc, CAST(0 AS BIGINT)) DIV {DAMP_DEN})"
+                    f" * {DAMP_NUM}"
+                    f" + ((coalesce(_inc, CAST(0 AS BIGINT)) % {DAMP_DEN})"
+                    f" * {DAMP_NUM}) DIV {DAMP_DEN}"
                 )
             ).cast("long").alias("rank_units"),
         )
+    if materialize:
+        # eager localCheckpoint materializes ranks off the cached inputs and
+        # truncates lineage, so releasing them below can never force a
+        # recompute from the raw edge scan; the checkpointed blocks are
+        # reclaimed by the ContextCleaner when the returned DF is dropped
+        ranks = ranks.localCheckpoint(eager=True)
+        nodes.unpersist()
+        ew.unpersist()
     return ranks
 
 

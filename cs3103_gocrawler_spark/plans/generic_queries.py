@@ -2030,6 +2030,22 @@ _PR_NODES = 500  # node-space modulus for the constructed link graph
 _PR_ITERS = 3
 
 
+def _pr_edges(spark, sf_dir):
+    """The T37 link graph: lineitem order→part incidence folded into a
+    node space of ``_PR_NODES`` (src = l_orderkey % N, dst = l_partkey %
+    N), self-loops dropped, distinct. Shared by the registry query and the
+    plan-inspection test (which needs ``materialize=False``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % _PR_NODES).alias("src"),
+            (F.col("l_partkey") % _PR_NODES).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def q_link_pagerank(spark, sf_dir):
     """T37 — frontier prioritization by link authority: integer fixed-point
     PageRank (graph.pagerank_units) over a link graph constructed from the
@@ -2038,40 +2054,43 @@ def q_link_pagerank(spark, sf_dir):
     politeness dequeue."""
     from ..operators import graph
 
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_orderkey") % _PR_NODES).alias("src"),
-            (F.col("l_partkey") % _PR_NODES).alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return graph.pagerank_units(edges, iters=_PR_ITERS)
+    return graph.pagerank_units(_pr_edges(spark, sf_dir), iters=_PR_ITERS)
 
 
 def _pr_iter_sql(prev: str) -> str:
+    # staged damping — (inc DIV 100)*85 + ((inc % 100)*85) DIV 100 — mirrors
+    # operators/graph.py exactly: same longs at any scale, no int64 wrap
+    from ..operators.graph import BASE, DAMP_DEN, DAMP_NUM
+
     return f"""SELECT n.node,
-       CAST(150000000000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS rank_units
+       CAST({BASE} + (coalesce(i.inc, 0) // {DAMP_DEN}) * {DAMP_NUM}
+            + ((coalesce(i.inc, 0) % {DAMP_DEN}) * {DAMP_NUM}) // {DAMP_DEN}
+        AS BIGINT) AS rank_units
 FROM n LEFT JOIN (
   SELECT e.dst AS node, sum({prev}.rank_units // od.outdeg) AS inc
   FROM e JOIN od USING (src) JOIN {prev} ON {prev}.node = e.src
   GROUP BY e.dst) i USING (node)"""
 
 
-SQL_LINK_PAGERANK = f"""
+def _pr_sql() -> str:
+    from ..operators.graph import UNIT
+
+    return f"""
 WITH e AS (SELECT DISTINCT l_orderkey % {_PR_NODES} AS src,
                            l_partkey % {_PR_NODES} AS dst
            FROM lineitem
            WHERE l_orderkey % {_PR_NODES} <> l_partkey % {_PR_NODES}),
 od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_units FROM n),
+r0 AS (SELECT node, CAST({UNIT} AS BIGINT) AS rank_units FROM n),
 r1 AS ({_pr_iter_sql("r0")}),
 r2 AS ({_pr_iter_sql("r1")}),
 r3 AS ({_pr_iter_sql("r2")})
 SELECT node, rank_units FROM r3
 """
+
+
+SQL_LINK_PAGERANK = _pr_sql()
 
 
 # --------------------------------------------------------------------------

@@ -42,7 +42,13 @@ def _hash(pdf) -> str:
 
 
 def main():
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json-out" in argv:
+        i = argv.index("--json-out")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
 
     import duckdb
 
@@ -85,6 +91,9 @@ def main():
         flag = "OK " if rec["hash_match"] else ("err" if rec["err"] else "BAD")
         print(f"{flag} {name}: {json.dumps(rec, default=str)[:200]}")
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"\n{n_bad} problem rows (no_oracle entries not counted as problems "
           f"unless they raise)")
     # exit nonzero on ANY problem row — hash/row/schema mismatches included,

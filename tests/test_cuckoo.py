@@ -46,6 +46,23 @@ def test_overflow_raises():
         cf.add(_keys(cf.m * cf.b + 500, seed=5))
 
 
+def test_overflow_poisons_instance():
+    """ADVICE r4: after an eviction-chain overflow a resident fingerprint is
+    lost, so a caller that catches the error and keeps probing could get
+    silent false negatives — every subsequent call must raise instead."""
+    cf = CuckooFilter(capacity=1_000)
+    with pytest.raises(RuntimeError, match="over capacity"):
+        cf.add(_keys(cf.m * cf.b + 500, seed=5))
+    assert cf.poisoned
+    probe = _keys(10, seed=6)
+    with pytest.raises(RuntimeError, match="poisoned"):
+        cf.might_contain(probe)
+    with pytest.raises(RuntimeError, match="poisoned"):
+        cf.add(probe)
+    with pytest.raises(RuntimeError, match="poisoned"):
+        cf.remove(probe)
+
+
 def test_remove_then_reinsert_roundtrip():
     """Deletion — what the bloom tiers cannot do: evicted keys drop out of
     the membership set and re-enter cleanly (the recrawl primitive)."""

@@ -744,6 +744,37 @@ def test_pagerank_units_matches_hand_computation(spark):
     assert got[4] == graph.BASE
 
 
+def test_pagerank_units_releases_cached_relations(spark):
+    """ADVICE r4: the round-4 version persisted nodes + the degree-annotated
+    edge list and never unpersisted them, leaking two cached relations per
+    call. The materialized default must leave the DataFrame cache manager
+    EMPTY and still return correct, re-collectable ranks — identical to the
+    lazy (materialize=False) plan."""
+    from cs3103_gocrawler_spark.operators import graph
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], "src long, dst long"
+    )
+    ranks = graph.pagerank_units(edges, iters=3)
+    got = {r["node"]: r["rank_units"] for r in ranks.collect()}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "pagerank_units left relations pinned in the cache manager"
+    )
+    try:
+        lazy = {
+            r["node"]: r["rank_units"]
+            for r in graph.pagerank_units(
+                edges, iters=3, materialize=False
+            ).collect()
+        }
+    finally:
+        spark.catalog.clearCache()
+    assert got == lazy
+    # the checkpointed result stays collectable after the input releases
+    assert ranks.count() == 4
+
+
 def test_rank_link_graph_includes_unfetched_targets(spark):
     """T37 engine bridge: ranks come from the visited set's links explode,
     and never-fetched link targets surface as rankable frontier nodes."""

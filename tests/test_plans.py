@@ -310,12 +310,24 @@ def test_link_pagerank_iterations_read_cached_state(spark):
     edge relations instead of re-deriving them from the raw edge scan —
     7 InMemoryTableScans = nodes x4 (r0 + three inc-merges) + ew x3.
     (A flat-count fingerprint is useless here: InMemoryRelation prints its
-    build plan nested inside the string, inflating node counts.)"""
-    from cs3103_gocrawler_spark.plans.generic_queries import QUERIES
+    build plan nested inside the string, inflating node counts.)
+
+    Uses materialize=False to get the lazy iteration plan back — the
+    registry path (materialize=True) localCheckpoints the result and
+    unpersists both relations, so its final plan is just the checkpoint
+    scan (that no-leak behavior is asserted in test_operators)."""
+    from cs3103_gocrawler_spark.operators import graph
+    from cs3103_gocrawler_spark.plans.generic_queries import (
+        _PR_ITERS,
+        _pr_edges,
+    )
 
     spark.catalog.clearCache()
     try:
-        plan = _plan(QUERIES["link_pagerank"][0](spark, SF_DIR))
+        ranks = graph.pagerank_units(
+            _pr_edges(spark, SF_DIR), iters=_PR_ITERS, materialize=False
+        )
+        plan = _plan(ranks)
         assert plan.count("InMemoryTableScan") == 7, plan[:2000]
         assert "CartesianProduct" not in plan
     finally:
