@@ -156,7 +156,10 @@ class CuckooFilter:
         return False
 
     def _check_poisoned(self) -> None:
-        if self.poisoned:
+        # getattr, not attribute access: unpickling (broadcast to executors,
+        # checkpoint reload) restores __dict__ without __init__, so a table
+        # serialized by an older build must probe as healthy, not crash
+        if getattr(self, "poisoned", False):
             raise RuntimeError(
                 "cuckoo filter is poisoned: a previous insert overflowed its "
                 "eviction chain and lost a resident fingerprint, so probes "

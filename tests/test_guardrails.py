@@ -99,3 +99,57 @@ def test_finalize_clears_stale_parts(spark, tmp_path):
     eng._finalize()
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0]["round_id"] == 0
+
+
+def test_bench_compact_line_fits_driver_tail_window():
+    """The per-round driver json-parses only the LAST ~4 KB of bench.py's
+    stdout; the full result blew past that in r04 and recorded
+    "parsed": null. The compact final line must stay well inside the
+    window with every field populated, and keep the contract keys."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    pair = {
+        "n_cores": 2, "n4_cores": 8,
+        "urls_per_sec_n": 12345.6, "urls_per_sec_4n": 45678.9,
+        "scaling_efficiency": 0.925, "probe_eff_same_window": 1.018,
+        "eff_probe_normalized": 0.909, "time_coherent": True,
+        "pair_passes": {"n": {"huge": "x" * 2000}, "4n": {"huge": "y" * 2000}},
+    }
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": 5.5,
+        "unit": "sec",
+        "queries": {f"q{i:02d}": 0.123456 for i in range(12)},
+        "sf": 0.1,
+        "crawl": {"rounds": 6, "urls_dequeued": 130968,
+                  "urls_fetched_ok": 109524, "wall_sec": 35.9,
+                  "urls_per_sec": 3647.0, "extra_detail": "z" * 3000},
+        "scaling": {
+            **pair,
+            "secondary_pair": dict(pair, config={"note": "n" * 500}),
+            "secondary_pair_oversubscribed": pair,
+            "machine_cpu_ceiling": {"it_per_sec": {"2": 1, "8": 2}},
+            "per_cycle": [pair] * 6,
+            "identical_output": True,
+            "urls": 1000000,
+        },
+    }
+    line = _json.dumps(bench._compact(result))
+    assert len(line) < 2048, f"compact line too long: {len(line)}"
+    out = _json.loads(line)
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(out)
+    assert out["scaling"]["scaling_efficiency"] == 0.925
+    assert out["scaling"]["secondary_pair"]["time_coherent"] is True
+    assert out["scaling"]["identical_output"] is True
+    assert "pair_passes" not in out["scaling"]
+    assert "per_cycle" not in out["scaling"]
+    # error path passes through verbatim
+    err = bench._compact(dict(result, scaling={"error": "worker died"}))
+    assert err["scaling"] == {"error": "worker died"}
